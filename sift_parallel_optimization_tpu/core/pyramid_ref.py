@@ -1,0 +1,190 @@
+"""Scale-space pyramid semantics in pure jnp (the XLA-fused baseline path).
+
+Two modes (see ``config.ScaleSpaceMode``):
+
+* REFERENCE — the behavioral spec of the reference study (SURVEY.md section
+  3.4; GuassDePyramid.h:60-149): per-octave strided subsample of the original
+  image, separable multiplicative Gaussian *window*, adjacent-scale DoG. This
+  single function subsumes the numerics of all 13 reference variants
+  (GaussDePyramid-*.h) — their differences were only in how loops were split
+  over SIMD lanes / threads / MPI ranks, which here is XLA's job (and the
+  fused Pallas kernel's in ops/scale_space_pallas.py).
+
+* SIFT — a true Gaussian scale space (separable convolution, sigma_s =
+  sigma0 * 2^(s/S), octave cascade by downsampling the previous octave's
+  scale-S image), which the detect/describe/match pipeline builds on.
+
+Everything here is jittable with static shapes: the octave loop is a Python
+loop unrolled at trace time (octave count is a static function of image size),
+so XLA sees a fixed DAG of dense ops it can fuse and tile onto the VPU/MXU —
+no dynamic shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sift_parallel_optimization_tpu.config import (
+    REF_PI,
+    REF_SIGMA,
+    PyramidConfig,
+    num_octaves,
+    octave_sizes,
+)
+
+# ---------------------------------------------------------------------------
+# REFERENCE mode (parity with GuassDePyramid.h)
+# ---------------------------------------------------------------------------
+
+
+def reference_filter_bank(size: int, n_scales: int, dtype=jnp.float32) -> jax.Array:
+    """(n_scales, size) bank of the reference's 1-D Gaussian windows.
+
+    f_s[i] = exp(-(i-c)^2 / (2 sig_s^2)) / (sig_s * sqrt(2*PI)), with
+    sig_s = 2/(s+1), c = (size-1)/2, PI = 3.1414926
+    (GuassDePyramid.h:117-120; constants GuassDePyramid.h:7-8).
+    """
+    i = jnp.arange(size, dtype=jnp.float32)
+    s = jnp.arange(n_scales, dtype=jnp.float32)
+    sig = REF_SIGMA / (s + 1.0)  # (n_scales,)
+    c = (size - 1) / 2.0
+    x = i - c  # (size,)
+    f = jnp.exp(-(x[None, :] ** 2) / (2.0 * sig[:, None] ** 2)) / (
+        sig[:, None] * jnp.sqrt(2.0 * REF_PI)
+    )
+    return f.astype(dtype)
+
+
+def reference_dog_octave(base: jax.Array, S: int) -> jax.Array:
+    """One octave: (size, size) base image -> (S+3, size, size) result.
+
+    Planes 0..S+1 hold DoG, plane S+2 holds the top windowed scale —
+    mirroring the reference's in-place storage (GuassDePyramid.h:136-149).
+
+    Fused form: since every scale starts as the same base image and the
+    "filter" is the separable window W_s = f_s (x) f_s, the DoG plane is
+    base * (W_s - W_{s+1}) — one multiply per output plane. The reference
+    instead does 2*(S+3) full-image multiply passes plus S+2 subtract passes;
+    on TPU this collapses to a single fused elementwise expression the
+    compiler tiles onto the VPU (the entire SIMD layer of the reference —
+    GaussDePyramid-NEON.h:131-156 et al. — for free).
+    """
+    size = base.shape[-1]
+    f = reference_filter_bank(size, S + 3, dtype=base.dtype)  # (S+3, size)
+    windows = f[:, :, None] * f[:, None, :]  # (S+3, size, size)
+    w_dog = windows[:-1] - windows[1:]  # (S+2, size, size)
+    w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)  # (S+3, ...)
+    return base[None, :, :] * w_all
+
+
+def reference_subsample(img: jax.Array, octave: int) -> jax.Array:
+    """Octave o base: the 2^o-strided subsample of the ORIGINAL image
+    (GuassDePyramid.h:74-86 — not a cascade over previous octaves)."""
+    step = 2**octave
+    size = img.shape[0] // step
+    return img[::step, ::step][:size, :size]
+
+
+def reference_dog_pyramid(
+    img: jax.Array, S: int, n_octaves: int | None = None
+) -> list[jax.Array]:
+    """Full REFERENCE-mode pipeline: list of (S+3, size_o, size_o) per octave.
+
+    Equivalent to GaussPyramid::GenerateDoG over GaussPyInit-ed state
+    (GuassDePyramid.h:60-149), validated bit-for-bit against
+    core/numpy_golden.py.
+    """
+    img = img.astype(jnp.float32)
+    total = num_octaves(img.shape[0])
+    if n_octaves is None:
+        n_octaves = total
+    n_octaves = min(n_octaves, total)
+    return [
+        reference_dog_octave(reference_subsample(img, o), S)
+        for o in range(n_octaves)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SIFT mode (true Gaussian scale space)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel_1d(sigma: float, dtype=jnp.float32) -> jax.Array:
+    """Normalized 1-D Gaussian taps, radius = ceil(3*sigma) (static length)."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x**2) / (2.0 * sigma * sigma))
+    return (k / jnp.sum(k)).astype(dtype)
+
+
+def separable_blur(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """Separable Gaussian blur of (..., H, W) with replicate border padding.
+
+    Rows then columns, each a 1-D VALID convolution after edge padding —
+    XLA lowers these to TPU convolutions / fused multiply-adds. The
+    reference's SIMD inner loops (e.g. GaussDePyramid-AVXxPTHREAD.h:217-252)
+    are the hand-written analogue of what XLA emits here.
+    """
+    k = taps.shape[0]
+    r = k // 2
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    x4 = x.reshape(n, 1, h, w)
+    dn = ("NCHW", "OIHW", "NCHW")
+    kern_w = taps.reshape(1, 1, 1, k).astype(x.dtype)
+    kern_h = taps.reshape(1, 1, k, 1).astype(x.dtype)
+    pad_w = jnp.pad(x4, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
+    x4 = lax.conv_general_dilated(pad_w, kern_w, (1, 1), "VALID", dimension_numbers=dn)
+    pad_h = jnp.pad(x4, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    x4 = lax.conv_general_dilated(pad_h, kern_h, (1, 1), "VALID", dimension_numbers=dn)
+    return x4.reshape(*lead, h, w)
+
+
+def _octave_scale_sigmas(cfg: PyramidConfig) -> list[float]:
+    """Incremental sigmas: blur applied to scale s-1 to reach scale s."""
+    sig = cfg.sift_sigmas()
+    out = []
+    for s in range(1, cfg.n_scales):
+        out.append(math.sqrt(max(sig[s] ** 2 - sig[s - 1] ** 2, 1e-12)))
+    return out
+
+
+def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]:
+    """True SIFT Gaussian pyramid: list of (S+3, H_o, W_o) per octave.
+
+    Octave 0 scale 0 is the input brought up to sigma0 from the assumed blur;
+    each next scale is an incremental blur of the previous; octave o+1 starts
+    from octave o's scale-S image downsampled by 2 (Lowe 2004 cascade) —
+    unlike REFERENCE mode's independent subsampling of the original image.
+    """
+    x = img.astype(cfg.dtype)
+    base_sigma = math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
+    x = separable_blur(x, gaussian_kernel_1d(base_sigma, cfg.dtype))
+    inc = _octave_scale_sigmas(cfg)
+    octaves = []
+    for _o in range(cfg.n_octaves):
+        scales = [x]
+        for s_inc in inc:
+            scales.append(
+                separable_blur(scales[-1], gaussian_kernel_1d(s_inc, cfg.dtype))
+            )
+        octave = jnp.stack(scales)  # (S+3, H, W)
+        octaves.append(octave)
+        # Next octave: scale index S has absolute blur 2*sigma0.
+        x = octave[cfg.S][::2, ::2]
+    return octaves
+
+
+def sift_dog_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]:
+    """DoG pyramid for detection: list of (S+2, H_o, W_o) per octave."""
+    return [g[1:] - g[:-1] for g in sift_gaussian_pyramid(img, cfg)]

@@ -1,0 +1,195 @@
+"""Mesh-sharded scale-space computation (the distributed layer).
+
+Replaces the reference's process-level decompositions — MPI rank-per-scale
+with a serial collector rank (GaussDePyramid-MPI.h:265-335, mpitest.cpp:35-113)
+and the pthread octave/scale splits (GaussDePyramid-pThread.h:176-342) — with
+`shard_map` over an explicit device mesh:
+
+  * rows of a frame are sharded over the ``spatial`` axis (the reference's
+    OpenMP row split, now across chips over ICI);
+  * a batch of frames is sharded over ``data`` (DP — the reference had no
+    batch dimension at all);
+  * there is NO collector: DoG is computed where the Gaussian planes live
+    (owner computes), eliminating the reference's Amdahl bottleneck where
+    one rank received every row of every plane and did all subtraction
+    (mpitest.cpp:66-93);
+  * the true-convolution path exchanges halo rows with neighbor-only
+    `ppermute` instead of row-granular MPI_Send/Recv.
+
+Two flavors are provided: explicit `shard_map` functions (this module), and
+the GSPMD path where `jax.jit` + sharding constraints auto-partitions the
+plain jnp code (used by models/pipeline code; XLA inserts equivalent
+collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sift_parallel_optimization_tpu.core.pyramid_ref import (
+    reference_filter_bank,
+    reference_subsample,
+)
+from sift_parallel_optimization_tpu.parallel.halo import exchange_rows
+
+
+# ---------------------------------------------------------------------------
+# REFERENCE mode: window + DoG, row-sharded (embarrassingly parallel — the
+# window is elementwise, so no halo is needed; each shard only needs its own
+# row-slice of the filter bank).
+# ---------------------------------------------------------------------------
+
+
+def _local_window_dog(local: jax.Array, n_scales: int, global_size: int) -> jax.Array:
+    """Inside shard_map: (h, N) local rows -> (n_scales, h, N) planes."""
+    n = lax.axis_size("spatial")
+    i = lax.axis_index("spatial")
+    h = local.shape[0]
+    f = reference_filter_bank(global_size, n_scales, dtype=local.dtype)
+    frow = lax.dynamic_slice_in_dim(f, i * h, h, axis=1)  # (n_scales, h)
+    fcol = f  # (n_scales, N)
+    windows = frow[:, :, None] * fcol[:, None, :]  # (n_scales, h, N)
+    w_dog = windows[:-1] - windows[1:]
+    w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)
+    return local[None] * w_all
+
+
+def sharded_reference_dog_octave(mesh: Mesh, S: int, size: int):
+    """Returns a jittable fn: (size, size) row-sharded -> (S+3, size, size).
+
+    Output is row-sharded on the same axis (planes replicated only in spec
+    position, data stays put — zero communication, unlike the reference's
+    full-pyramid MPI_Send to the collector)."""
+    n_scales = S + 3
+
+    fn = shard_map(
+        functools.partial(_local_window_dog, n_scales=n_scales, global_size=size),
+        mesh=mesh,
+        in_specs=P("spatial", None),
+        out_specs=P(None, "spatial", None),
+    )
+    return fn
+
+
+def _shardable(size: int, n_shards: int, min_rows: int = 8) -> bool:
+    return size % n_shards == 0 and size // n_shards >= min_rows
+
+
+def sharded_reference_dog_pyramid(
+    img: jax.Array, S: int, mesh: Mesh, n_octaves: int | None = None
+) -> list[jax.Array]:
+    """Full REFERENCE pyramid with large octaves row-sharded over the mesh.
+
+    Octaves too small to shard (the deep tail of the pyramid, a few KB total)
+    are computed with plain jnp — under jit+GSPMD they run replicated, which
+    is both correct and faster than forcing tiny collectives.
+    """
+    from sift_parallel_optimization_tpu.config import num_octaves
+    from sift_parallel_optimization_tpu.core.pyramid_ref import reference_dog_octave
+
+    img = img.astype(jnp.float32)
+    total = num_octaves(img.shape[0])
+    n_octaves = total if n_octaves is None else min(n_octaves, total)
+    n_sp = mesh.shape["spatial"]
+    out = []
+    for o in range(n_octaves):
+        base = reference_subsample(img, o)
+        size = base.shape[0]
+        if _shardable(size, n_sp):
+            out.append(sharded_reference_dog_octave(mesh, S, size)(base))
+        else:
+            out.append(reference_dog_octave(base, S))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SIFT mode: true separable convolution with halo exchange.
+# ---------------------------------------------------------------------------
+
+
+def _blur_local_rows(local: jax.Array, taps: jax.Array) -> jax.Array:
+    """Inside shard_map: blur (h, W) local rows; halo rows come from
+    neighbors via ppermute, W handled locally with edge padding."""
+    k = taps.shape[0]
+    r = k // 2
+    x = exchange_rows(local, r, "spatial")  # (h + 2r, W)
+    # Column (W) pass — row-local.
+    xw = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = lax.conv_general_dilated(
+        xw[None, None], taps.reshape(1, 1, 1, k).astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    # Row (H) pass — consumes the halo.
+    x = lax.conv_general_dilated(
+        x[None, None], taps.reshape(1, 1, k, 1).astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return x
+
+
+def sharded_separable_blur(mesh: Mesh):
+    """Returns fn(img, taps): row-sharded separable Gaussian blur.
+
+    Bit-compatible with core.pyramid_ref.separable_blur (tested); the ICI
+    traffic is exactly 2 * radius * W floats per shard boundary per pass —
+    the minimum any distributed stencil can move."""
+    return shard_map(
+        _blur_local_rows,
+        mesh=mesh,
+        in_specs=(P("spatial", None), P()),
+        out_specs=P("spatial", None),
+    )
+
+
+def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.Array]:
+    """True SIFT Gaussian pyramid, large octaves row-sharded with halo
+    exchange, small-tail octaves computed unsharded.
+
+    The downsample between octaves is a stride-2 row slice: while the local
+    shard height stays even the slice is shard-local (no resharding); once
+    octaves become too small the loop falls back to the unsharded path —
+    the resharding point SURVEY.md section 7 flags as hard part (d).
+    """
+    import math as _math
+
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        gaussian_kernel_1d,
+        separable_blur,
+        _octave_scale_sigmas,
+    )
+
+    n_sp = mesh.shape["spatial"]
+    blur = sharded_separable_blur(mesh)
+
+    x = img.astype(cfg.dtype)
+    base_sigma = _math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
+    base_taps = gaussian_kernel_1d(base_sigma, cfg.dtype)
+    inc_taps = [gaussian_kernel_1d(s, cfg.dtype) for s in _octave_scale_sigmas(cfg)]
+    max_r = max(t.shape[0] // 2 for t in [base_taps, *inc_taps])
+
+    def can_shard(size: int) -> bool:
+        # Halo must not exceed local height, and stride-2 must stay local.
+        return size % (2 * n_sp) == 0 and size // n_sp >= max(2 * max_r, 8)
+
+    octaves = []
+    sharded = can_shard(x.shape[0])
+    x = blur(x, base_taps) if sharded else separable_blur(x, base_taps)
+    for _o in range(cfg.n_octaves):
+        scales = [x]
+        for taps in inc_taps:
+            scales.append(
+                blur(scales[-1], taps) if sharded else separable_blur(scales[-1], taps)
+            )
+        octave = jnp.stack(scales)
+        octaves.append(octave)
+        x = octave[cfg.S][::2, ::2]
+        if sharded and not can_shard(x.shape[0]):
+            sharded = False  # resharding point: tail octaves run unsharded
+    return octaves

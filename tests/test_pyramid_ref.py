@@ -1,0 +1,133 @@
+"""Golden numerics tests: jnp REFERENCE mode vs the NumPy oracle.
+
+This is the test layer the reference never had (SURVEY.md section 4): golden
+comparisons on small NON-constant images (the reference's all-ones test image,
+main.cpp:31-35, hides windowing/indexing bugs — several of its SIMD variants
+are silently wrong on real data)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sift_parallel_optimization_tpu.config import (
+    PyramidConfig,
+    ScaleSpaceMode,
+    num_octaves,
+    octave_sizes,
+)
+from sift_parallel_optimization_tpu.core.numpy_golden import (
+    golden_dog_pyramid,
+    golden_filter,
+)
+from sift_parallel_optimization_tpu.core.pyramid_ref import (
+    gaussian_kernel_1d,
+    reference_dog_pyramid,
+    reference_filter_bank,
+    separable_blur,
+    sift_dog_pyramid,
+    sift_gaussian_pyramid,
+)
+
+
+def test_num_octaves_matches_reference_loop():
+    # while(len){x++; len/=2;}  (GuassDePyramid.h:49-53)
+    assert num_octaves(512) == 10
+    assert num_octaves(256) == 9
+    assert num_octaves(1) == 1
+    assert num_octaves(10) == 4  # 10,5,2,1
+    assert octave_sizes(10) == [10, 5, 2, 1]
+
+
+@pytest.mark.parametrize("size,s", [(16, 0), (16, 3), (8, 1), (1, 0)])
+def test_filter_bank_matches_golden(size, s):
+    bank = np.asarray(reference_filter_bank(size, s + 1))
+    # Golden computes in float64, the jnp path in float32 — tolerance covers
+    # exp() ULP differences between the two.
+    np.testing.assert_allclose(bank[s], golden_filter(size, s), rtol=3e-5)
+
+
+@pytest.mark.parametrize("length,S", [(16, 2), (32, 2), (32, 3), (8, 1)])
+def test_reference_pyramid_matches_golden(length, S, rng):
+    img = rng.integers(0, 256, size=(length, length)).astype(np.float32)
+    golden = golden_dog_pyramid(img, S)
+    ours = reference_dog_pyramid(jnp.asarray(img), S)
+    assert len(ours) == len(golden)
+    # float32 exp() + DoG cancellation vs the float64 golden: observed maxrel
+    # ~4e-5; real indexing/windowing bugs show up at percent level.
+    for o, (g, u) in enumerate(zip(golden, ours)):
+        np.testing.assert_allclose(
+            np.asarray(u), g, rtol=1e-3, atol=1e-4, err_msg=f"octave {o}"
+        )
+
+
+def test_reference_pyramid_jits(rng):
+    img = jnp.asarray(rng.integers(0, 256, size=(32, 32)).astype(np.float32))
+    fn = jax.jit(lambda x: reference_dog_pyramid(x, 2))
+    out = fn(img)
+    out2 = reference_dog_pyramid(img, 2)
+    for a, b in zip(out, out2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_constant_image_dog_is_constant_per_plane(rng):
+    # Sanity: on the reference's all-ones image every plane is base * (W_s -
+    # W_{s+1}) of a constant — spatially it is the window difference itself.
+    img = jnp.ones((16, 16), dtype=jnp.float32)
+    out = reference_dog_pyramid(img, 2)
+    golden = golden_dog_pyramid(np.ones((16, 16), np.float32), 2)
+    for u, g in zip(out, golden):
+        np.testing.assert_allclose(np.asarray(u), g, rtol=1e-3, atol=1e-4)
+
+
+# --- SIFT (true convolution) mode -----------------------------------------
+
+
+def test_gaussian_kernel_normalized():
+    k = np.asarray(gaussian_kernel_1d(1.6))
+    assert k.ndim == 1 and k.shape[0] % 2 == 1
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(k, k[::-1], rtol=1e-6)  # symmetric
+
+
+def test_separable_blur_matches_scipy_style_reference(rng):
+    # Compare against a direct NumPy separable convolution with edge padding.
+    img = rng.normal(size=(24, 24)).astype(np.float32)
+    taps = np.asarray(gaussian_kernel_1d(1.3))
+    r = len(taps) // 2
+    padded = np.pad(img, r, mode="edge")
+    tmp = np.zeros_like(padded)
+    for i, t in enumerate(taps):
+        tmp[:, r:-r] += t * padded[:, i : i + img.shape[1]]
+    out_np = np.zeros_like(img)
+    for i, t in enumerate(taps):
+        out_np += t * tmp[i : i + img.shape[0], r:-r]
+    ours = np.asarray(separable_blur(jnp.asarray(img), jnp.asarray(taps)))
+    np.testing.assert_allclose(ours, out_np, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_blur_preserves_mean_of_constant():
+    img = jnp.full((16, 16), 7.0)
+    out = separable_blur(img, gaussian_kernel_1d(2.0))
+    np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-5)
+
+
+def test_sift_pyramid_shapes():
+    cfg = PyramidConfig(length=64, S=3, mode=ScaleSpaceMode.SIFT)
+    img = jnp.zeros((64, 64), jnp.float32)
+    gp = sift_gaussian_pyramid(img, cfg)
+    assert len(gp) == cfg.n_octaves
+    for o, g in enumerate(gp):
+        assert g.shape == (cfg.n_scales, 64 // 2**o, 64 // 2**o)
+    dp = sift_dog_pyramid(img, cfg)
+    for o, d in enumerate(dp):
+        assert d.shape == (cfg.n_dog, 64 // 2**o, 64 // 2**o)
+
+
+def test_sift_pyramid_blur_monotone(rng):
+    # Increasing blur must not increase image variance (smoothing property).
+    cfg = PyramidConfig(length=32, S=2, mode=ScaleSpaceMode.SIFT)
+    img = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
+    g = sift_gaussian_pyramid(img, cfg)[0]
+    variances = np.var(np.asarray(g), axis=(1, 2))
+    assert np.all(np.diff(variances) <= 1e-6)
