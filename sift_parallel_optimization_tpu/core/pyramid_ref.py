@@ -151,36 +151,83 @@ def separable_blur(x: jax.Array, taps: jax.Array) -> jax.Array:
 
 
 def _octave_scale_sigmas(cfg: PyramidConfig) -> list[float]:
-    """Incremental sigmas: blur applied to scale s-1 to reach scale s."""
+    """COMPOSED sigmas: blur applied to the octave BASE to reach scale s.
+
+    Gaussian semigroup: blurring the base (absolute sigma0) once with
+    sqrt(sig_s^2 - sigma0^2) equals the Lowe cascade of incremental blurs in
+    the continuum. Composed blurs are used because on TPU they remove the
+    serial scale-to-scale dependency — all S+2 blurred scales of an octave
+    are computed from one base in a single batched matmul (see blur_bank).
+    """
     sig = cfg.sift_sigmas()
-    out = []
-    for s in range(1, cfg.n_scales):
-        out.append(math.sqrt(max(sig[s] ** 2 - sig[s - 1] ** 2, 1e-12)))
-    return out
+    return [
+        math.sqrt(max(sig[s] ** 2 - sig[0] ** 2, 1e-12))
+        for s in range(1, cfg.n_scales)
+    ]
+
+
+def blur_matrix(size: int, sigma: float) -> jnp.ndarray:
+    """(size, size) banded Toeplitz matrix B with edge-clamped Gaussian taps.
+
+    (x @ B) equals a 1-D VALID convolution of each row of x with
+    gaussian_kernel_1d(sigma) after replicate ('edge') padding — i.e. the
+    same op as separable_blur's column pass, reformulated as a matmul so it
+    runs on the MXU (a 1-channel conv starves the systolic array; a
+    (N, N) x (N, N) matmul saturates it).
+    """
+    import numpy as np
+
+    # Same taps as gaussian_kernel_1d, in pure NumPy (sigma is static, and
+    # this must stay traceable-free so it works under jit).
+    r = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    taps = np.exp(-(x**2) / (2.0 * sigma * sigma))
+    taps = (taps / taps.sum()).astype(np.float32)
+    b = np.zeros((size, size), np.float32)
+    v = np.arange(size)
+    for k, t in enumerate(taps):
+        u = np.clip(v + k - r, 0, size - 1)
+        np.add.at(b, (u, v), t)
+    return jnp.asarray(b)
+
+
+def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
+    """(N, N) base -> (len(sigmas), N, N): all blurs in two batched matmuls.
+
+    out_s = B_s^T @ base @ B_s with B_s = blur_matrix(N, sigma_s). This is
+    the TPU-native form of the reference's entire per-scale filter loop
+    (GuassDePyramid.h:106-134 and every SIMD/thread variant of it): the MXU
+    does all scales of an octave concurrently instead of 2*(S+3) separate
+    elementwise passes.
+    """
+    n = base.shape[-1]
+    bank = jnp.stack([blur_matrix(n, s) for s in sigmas])  # (S, N, N)
+    tmp = jnp.einsum(
+        "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "suh,shv->suv", bank, tmp, preferred_element_type=jnp.float32
+    )
 
 
 def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]:
     """True SIFT Gaussian pyramid: list of (S+3, H_o, W_o) per octave.
 
     Octave 0 scale 0 is the input brought up to sigma0 from the assumed blur;
-    each next scale is an incremental blur of the previous; octave o+1 starts
-    from octave o's scale-S image downsampled by 2 (Lowe 2004 cascade) —
-    unlike REFERENCE mode's independent subsampling of the original image.
+    scales 1..S+2 are composed blurs of the octave base (equivalent to the
+    Lowe 2004 cascade, parallelized — see _octave_scale_sigmas); octave o+1
+    starts from octave o's scale-S image downsampled by 2. Unlike REFERENCE
+    mode, octaves cascade instead of subsampling the original image.
     """
     x = img.astype(cfg.dtype)
     base_sigma = math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
     x = separable_blur(x, gaussian_kernel_1d(base_sigma, cfg.dtype))
-    inc = _octave_scale_sigmas(cfg)
+    rel = _octave_scale_sigmas(cfg)
     octaves = []
     for _o in range(cfg.n_octaves):
-        scales = [x]
-        for s_inc in inc:
-            scales.append(
-                separable_blur(scales[-1], gaussian_kernel_1d(s_inc, cfg.dtype))
-            )
-        octave = jnp.stack(scales)  # (S+3, H, W)
+        octave = jnp.concatenate([x[None], blur_bank(x, rel)], axis=0)
         octaves.append(octave)
-        # Next octave: scale index S has absolute blur 2*sigma0.
+        # Next octave base: scale index S has absolute blur 2*sigma0.
         x = octave[cfg.S][::2, ::2]
     return octaves
 

@@ -1,0 +1,186 @@
+"""On-device DoG extrema detection (SIFT keypoint localization).
+
+North-star extension (BASELINE.json config 2): the reference computes the
+DoG pyramid and stops (SURVEY.md — no detection exists in
+ZhangShuui/SIFT-parallel-optimization); this module consumes the SIFT-mode
+pyramid of core/pyramid_ref.py and finds scale-space extrema the TPU way:
+
+* 3x3x3 extremum test as dense `lax.reduce_window` max/min pools + compare —
+  no per-pixel branching, everything stays on the VPU;
+* subpixel refinement (Brown & Lowe quadratic fit) computed DENSELY: the 3D
+  gradient/Hessian are finite-difference stencils and the 3x3 solve is a
+  closed-form adjugate — cheaper to do everywhere than to gather candidates;
+* fixed-capacity extraction: score-masked `lax.top_k` over the flattened
+  octave, unraveled back to (scale, y, x) — the static-shape substitute for
+  dynamic compaction (SURVEY.md section 7 hard part (b)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sift_parallel_optimization_tpu.config import PyramidConfig
+from sift_parallel_optimization_tpu.models.keypoints import (
+    Keypoints,
+    concat_keypoints,
+    top_k_keypoints,
+)
+
+# Detection thresholds (standard SIFT values for images scaled to [0, 1]).
+CONTRAST_THRESHOLD = 0.04
+EDGE_RATIO = 10.0
+MAX_REFINE_OFFSET = 0.6  # reject candidates whose quadratic fit moves further
+
+
+def _window_extrema(dog: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(D, H, W) -> bool (D-2, H-2, W-2): strict 26-neighbor max / min."""
+    mx = lax.reduce_window(
+        dog, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "VALID"
+    )
+    mn = lax.reduce_window(
+        dog, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1), "VALID"
+    )
+    c = dog[1:-1, 1:-1, 1:-1]
+    return c >= mx, c <= mn
+
+
+def _grad_hess(dog: jax.Array):
+    """Dense central differences at interior voxels of (D, H, W).
+
+    Returns g = (gs, gy, gx) and Hessian entries, each (D-2, H-2, W-2).
+    """
+    c = dog[1:-1, 1:-1, 1:-1]
+    ds_p, ds_m = dog[2:, 1:-1, 1:-1], dog[:-2, 1:-1, 1:-1]
+    dy_p, dy_m = dog[1:-1, 2:, 1:-1], dog[1:-1, :-2, 1:-1]
+    dx_p, dx_m = dog[1:-1, 1:-1, 2:], dog[1:-1, 1:-1, :-2]
+    gs, gy, gx = (ds_p - ds_m) / 2, (dy_p - dy_m) / 2, (dx_p - dx_m) / 2
+    hss = ds_p + ds_m - 2 * c
+    hyy = dy_p + dy_m - 2 * c
+    hxx = dx_p + dx_m - 2 * c
+    hsy = (dog[2:, 2:, 1:-1] - dog[2:, :-2, 1:-1]
+           - dog[:-2, 2:, 1:-1] + dog[:-2, :-2, 1:-1]) / 4
+    hsx = (dog[2:, 1:-1, 2:] - dog[2:, 1:-1, :-2]
+           - dog[:-2, 1:-1, 2:] + dog[:-2, 1:-1, :-2]) / 4
+    hyx = (dog[1:-1, 2:, 2:] - dog[1:-1, 2:, :-2]
+           - dog[1:-1, :-2, 2:] + dog[1:-1, :-2, :-2]) / 4
+    return (gs, gy, gx), (hss, hyy, hxx, hsy, hsx, hyx)
+
+
+def _solve3(h, g):
+    """Solve H @ off = -g for symmetric 3x3 H, densely, via adjugate.
+
+    h = (hss, hyy, hxx, hsy, hsx, hyx); g = (gs, gy, gx). Returns
+    (off_s, off_y, off_x, det).
+    """
+    a, d, f, b, c, e = h  # H = [[a,b,c],[b,d,e],[c,e,f]]
+    gs, gy, gx = g
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    off_s = -(A * gs + B * gy + C * gx) * inv_det
+    off_y = -(B * gs + D * gy + E * gx) * inv_det
+    off_x = -(C * gs + E * gy + F * gx) * inv_det
+    return off_s, off_y, off_x, det
+
+
+def detect_octave(
+    dog: jax.Array,
+    octave: int,
+    cfg: PyramidConfig,
+    capacity: int,
+    contrast_threshold: float = CONTRAST_THRESHOLD,
+    edge_ratio: float = EDGE_RATIO,
+) -> Keypoints:
+    """(S+2, H, W) DoG stack of one octave -> Keypoints with ``capacity`` slots.
+
+    Coordinates/sigma are returned in ORIGINAL image units (scaled by 2^octave).
+    """
+    dog = dog.astype(jnp.float32)
+    is_max, is_min = _window_extrema(dog)
+    g, h = _grad_hess(dog)
+    off_s, off_y, off_x, _det3 = _solve3(h, g)
+    c = dog[1:-1, 1:-1, 1:-1]
+    gs, gy, gx = g
+    hss, hyy, hxx, hsy, hsx, hyx = h
+
+    # Refined contrast |D_hat| = |D + 1/2 g . offset|.
+    d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
+
+    # 2D edge test on the spatial Hessian.
+    tr = hxx + hyy
+    det2 = hxx * hyy - hyx * hyx
+    edge_ok = (det2 > 0) & (
+        tr * tr * edge_ratio < (edge_ratio + 1) ** 2 * det2
+    )
+
+    off_ok = (
+        (jnp.abs(off_s) < MAX_REFINE_OFFSET)
+        & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
+        & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
+    )
+    good = (
+        (is_max | is_min)
+        & (jnp.abs(d_hat) > contrast_threshold)
+        & edge_ok
+        & off_ok
+    )
+    score = jnp.where(good, jnp.abs(d_hat), 0.0)
+
+    # Static-shape extraction: top-k over the flattened interior.
+    ds, hs, ws = score.shape
+    flat = score.reshape(-1)
+    vals, idx = lax.top_k(flat, min(capacity, flat.shape[0]))
+    if vals.shape[0] < capacity:  # tiny octave: pad up to capacity
+        pad = capacity - vals.shape[0]
+        vals = jnp.pad(vals, (0, pad))
+        idx = jnp.pad(idx, (0, pad))
+    s_i = idx // (hs * ws)
+    y_i = (idx // ws) % hs
+    x_i = idx % ws
+    take = lambda a: a.reshape(-1)[idx]
+    fs, fy, fx = take(off_s), take(off_y), take(off_x)
+    valid = vals > 0
+
+    # +1: interior offset from the VALID window; coords in octave pixels.
+    x_o = x_i.astype(jnp.float32) + 1.0 + fx
+    y_o = y_i.astype(jnp.float32) + 1.0 + fy
+    s_o = s_i.astype(jnp.float32) + 1.0 + fs  # DoG plane index (1..S)
+
+    scale_mult = float(2**octave)
+    sigma = cfg.sigma0 * jnp.exp2(s_o / cfg.S) * scale_mult
+    return Keypoints(
+        x=jnp.where(valid, x_o * scale_mult, 0.0),
+        y=jnp.where(valid, y_o * scale_mult, 0.0),
+        sigma=jnp.where(valid, sigma, 0.0),
+        score=vals,
+        orientation=jnp.zeros_like(vals),
+        octave=jnp.full_like(s_i, octave, dtype=jnp.int32),
+        scale=(s_i + 1).astype(jnp.int32),
+        valid=valid,
+    )
+
+
+def detect_pyramid(
+    dogs: list[jax.Array],
+    cfg: PyramidConfig,
+    max_keypoints: int = 512,
+    per_octave_capacity: int | None = None,
+    **thresholds,
+) -> Keypoints:
+    """Full-pyramid detection -> top ``max_keypoints`` across all octaves."""
+    if per_octave_capacity is None:
+        per_octave_capacity = max_keypoints
+    kps = [
+        detect_octave(d, o, cfg, per_octave_capacity, **thresholds)
+        for o, d in enumerate(dogs)
+    ]
+    return top_k_keypoints(concat_keypoints(kps), max_keypoints)

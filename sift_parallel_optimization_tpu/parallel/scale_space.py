@@ -171,8 +171,10 @@ def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.A
     x = img.astype(cfg.dtype)
     base_sigma = _math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
     base_taps = gaussian_kernel_1d(base_sigma, cfg.dtype)
-    inc_taps = [gaussian_kernel_1d(s, cfg.dtype) for s in _octave_scale_sigmas(cfg)]
-    max_r = max(t.shape[0] // 2 for t in [base_taps, *inc_taps])
+    # Composed per-scale blurs from the octave base — same semantics as the
+    # core path's blur_bank (Gaussian semigroup), here as halo-exchange convs.
+    rel_taps = [gaussian_kernel_1d(s, cfg.dtype) for s in _octave_scale_sigmas(cfg)]
+    max_r = max(t.shape[0] // 2 for t in [base_taps, *rel_taps])
 
     def can_shard(size: int) -> bool:
         # Halo must not exceed local height, and stride-2 must stay local.
@@ -183,9 +185,9 @@ def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.A
     x = blur(x, base_taps) if sharded else separable_blur(x, base_taps)
     for _o in range(cfg.n_octaves):
         scales = [x]
-        for taps in inc_taps:
+        for taps in rel_taps:
             scales.append(
-                blur(scales[-1], taps) if sharded else separable_blur(scales[-1], taps)
+                blur(x, taps) if sharded else separable_blur(x, taps)
             )
         octave = jnp.stack(scales)
         octaves.append(octave)

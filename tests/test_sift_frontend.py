@@ -1,0 +1,149 @@
+"""Property tests for the SIFT frontend (detect + orient + describe).
+
+The reference has no detection/descriptor stage (SURVEY.md section 4 —
+no tests of any kind either), so these are property-based gates:
+synthetic blobs must be localized, flat/edge regions suppressed, and a
+90-degree image rotation must rotate orientations and preserve descriptors.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_parallel_optimization_tpu.models.detect import detect_pyramid
+from sift_parallel_optimization_tpu.models.frontend import (
+    extract_features,
+    sift_config,
+)
+from sift_parallel_optimization_tpu.core.pyramid_ref import sift_dog_pyramid
+
+
+def blob_image(size, centers_sigmas, sign=-1.0):
+    """Dark (sign=-1) or bright blobs on a flat 0.5 background."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.full((size, size), 0.5, np.float32)
+    for (cy, cx, s) in centers_sigmas:
+        img += sign * 0.4 * np.exp(-((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s))
+    return jnp.asarray(img)
+
+
+class TestDetect:
+    def test_blob_localized(self):
+        cfg = sift_config(128)
+        img = blob_image(128, [(64.0, 64.0, 4.0)])
+        kp = detect_pyramid(sift_dog_pyramid(img, cfg), cfg, max_keypoints=64)
+        kp = jax.tree.map(np.asarray, kp)
+        assert kp.valid.sum() >= 1
+        best = np.argmax(kp.score)
+        assert abs(kp.x[best] - 64.0) < 1.5
+        assert abs(kp.y[best] - 64.0) < 1.5
+        # DoG response of a blob of scale s peaks near sigma ~ s.
+        assert 2.0 < kp.sigma[best] < 9.0
+
+    def test_multiple_blobs_multiple_scales(self):
+        cfg = sift_config(256)
+        spots = [(60.0, 60.0, 3.0), (180.0, 70.0, 6.0), (100.0, 190.0, 12.0)]
+        img = blob_image(256, spots)
+        kp = detect_pyramid(sift_dog_pyramid(img, cfg), cfg, max_keypoints=128)
+        kp = jax.tree.map(np.asarray, kp)
+        for (cy, cx, s) in spots:
+            d = np.hypot(kp.x - cx, kp.y - cy)
+            hit = kp.valid & (d < max(2.0, 0.3 * s))
+            assert hit.any(), f"blob at ({cy},{cx},{s}) not detected"
+
+    def test_constant_image_no_keypoints(self):
+        cfg = sift_config(128)
+        img = jnp.full((128, 128), 0.5)
+        kp = detect_pyramid(sift_dog_pyramid(img, cfg), cfg, max_keypoints=64)
+        assert int(kp.count()) == 0
+
+    def test_step_edge_suppressed(self):
+        cfg = sift_config(128)
+        img = jnp.where(jnp.arange(128)[None, :] < 64, 0.2, 0.8)
+        img = jnp.broadcast_to(img, (128, 128)).astype(jnp.float32)
+        kp = detect_pyramid(sift_dog_pyramid(img, cfg), cfg, max_keypoints=64)
+        assert int(kp.count()) == 0
+
+    def test_jittable(self):
+        cfg = sift_config(128)
+        img = blob_image(128, [(64.0, 64.0, 4.0)])
+        fn = jax.jit(
+            lambda im: detect_pyramid(sift_dog_pyramid(im, cfg), cfg, 64)
+        )
+        kp = fn(img)
+        assert int(kp.count()) >= 1
+
+
+def _texture(size, seed=0):
+    """Smooth random texture (band-limited so features are stable)."""
+    rng = np.random.default_rng(seed)
+    img = rng.random((size, size)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25
+    from jax.scipy.signal import convolve2d
+
+    img = np.asarray(convolve2d(jnp.asarray(img), jnp.asarray(k), mode="same"))
+    return jnp.asarray((img - img.min()) / (img.max() - img.min()))
+
+
+def _match_rot90(kp1, kp2, size):
+    """Pairs (i, j): kp1[i] maps onto kp2[j] under np.rot90 (k=1).
+
+    np.rot90 maps pixel (y, x) -> (size-1-x, y).
+    """
+    pairs = []
+    for i in range(kp1.x.shape[0]):
+        if not kp1.valid[i]:
+            continue
+        ty, tx = size - 1 - kp1.x[i], kp1.y[i]
+        d = np.hypot(kp2.x - tx, kp2.y - ty) + np.abs(kp2.sigma - kp1.sigma[i])
+        j = int(np.argmin(np.where(kp2.valid, d, np.inf)))
+        if kp2.valid[j] and d[j] < 2.0:
+            pairs.append((i, j))
+    return pairs
+
+
+class TestRotationEquivariance:
+    def test_rot90_orientation_and_descriptor(self):
+        size = 128
+        cfg = sift_config(size)
+        img = _texture(size)
+        f1 = extract_features(img, cfg, max_keypoints=128)
+        f2 = extract_features(
+            jnp.asarray(np.rot90(np.asarray(img))), cfg, max_keypoints=128
+        )
+        kp1 = jax.tree.map(np.asarray, f1.keypoints)
+        kp2 = jax.tree.map(np.asarray, f2.keypoints)
+        d1, d2 = np.asarray(f1.descriptors), np.asarray(f2.descriptors)
+
+        pairs = _match_rot90(kp1, kp2, size)
+        assert len(pairs) >= 5, f"only {len(pairs)} rot90 pairs matched"
+
+        ori_ok = desc_sims = 0
+        sims = []
+        for (i, j) in pairs:
+            # Orientation rotates by -90 degrees (y-down image coords).
+            diff = (kp2.orientation[j] - kp1.orientation[i] + np.pi / 2)
+            diff = (diff + np.pi) % (2 * np.pi) - np.pi
+            if abs(diff) < 0.35:
+                ori_ok += 1
+            sims.append(float(d1[i] @ d2[j]))
+        sims = np.array(sims)
+        assert ori_ok / len(pairs) > 0.6, f"{ori_ok}/{len(pairs)} orientations"
+        assert np.median(sims) > 0.7, f"median desc similarity {np.median(sims)}"
+
+
+class TestDescriptors:
+    def test_norm_and_masking(self):
+        cfg = sift_config(128)
+        img = blob_image(128, [(40.0, 40.0, 3.0), (90.0, 80.0, 5.0)])
+        f = extract_features(img, cfg, max_keypoints=64)
+        desc = np.asarray(f.descriptors)
+        valid = np.asarray(f.keypoints.valid)
+        assert valid.sum() >= 2
+        norms = np.linalg.norm(desc, axis=-1)
+        np.testing.assert_allclose(norms[valid], 1.0, atol=1e-4)
+        np.testing.assert_allclose(norms[~valid], 0.0, atol=1e-6)
+        # Clip-at-0.2 then renormalize: components may exceed 0.2 by the
+        # renorm factor but are bounded well below an unclipped peak.
+        assert desc[valid].max() <= 0.5
