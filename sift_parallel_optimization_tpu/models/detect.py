@@ -127,9 +127,12 @@ def detect_octave(
         & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
         & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
     )
+    # Lowe/OpenCV convention: the usable threshold scales with the number
+    # of intervals (DoG plane spacing shrinks as S grows).
+    thr = contrast_threshold / cfg.S
     good = (
         (is_max | is_min)
-        & (jnp.abs(d_hat) > contrast_threshold)
+        & (jnp.abs(d_hat) > thr)
         & edge_ok
         & off_ok
     )
