@@ -30,7 +30,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sift_parallel_optimization_tpu.core.pyramid_ref import (
