@@ -1,0 +1,348 @@
+"""Incremental structure-from-motion (small scene, single host).
+
+North-star extension (BASELINE.json config 4: "incremental triangulation +
+bundle adjustment on ~50 keyframes"). TPU-first structure:
+
+* The map has FIXED capacities (cameras, points, observations) with valid
+  masks; every frame owns statically-placed slot blocks (frame i writes
+  points into [i*B, (i+1)*B) and observations into fixed blocks), so every
+  jitted step sees static shapes and the incremental loop is a plain
+  Python orchestration over jit-compiled kernels.
+* PnP registration is BATCHED RANSAC like models/matching.py: all minimal
+  6-point hypotheses are solved (vmapped DLT + GN refine) and scored in
+  one shot.
+* New landmarks are triangulated against the previous keyframe with
+  cheirality + reprojection gating; descriptors are cached per landmark
+  for 2D-3D matching of later frames.
+* Refinement is the Schur-complement BA of models/ba.py (or its
+  distributed version in parallel/ba.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from sift_parallel_optimization_tpu.models.ba import (
+    BAState,
+    Observations,
+    bundle_adjust,
+)
+from sift_parallel_optimization_tpu.models.frontend import Features
+from sift_parallel_optimization_tpu.models.geometry import (
+    Camera,
+    essential_from_fundamental,
+    pnp_dlt,
+    project,
+    recover_pose,
+    refine_pose,
+    reprojection_error,
+    rodrigues,
+    triangulate,
+)
+from sift_parallel_optimization_tpu.models.matching import (
+    match_descriptors,
+    matched_points,
+    ransac_fundamental,
+)
+
+
+class SfmMap(NamedTuple):
+    """Fixed-capacity incremental map (capacities are static)."""
+
+    rvecs: jax.Array      # (C, 3)
+    tvecs: jax.Array      # (C, 3)
+    cam_valid: jax.Array  # (C,)
+    points: jax.Array     # (P, 3)
+    pt_valid: jax.Array   # (P,)
+    pt_desc: jax.Array    # (P, 128) descriptor of first observation
+    obs: Observations     # capacity M observations
+
+    def n_cameras(self) -> jax.Array:
+        return self.cam_valid.sum()
+
+    def n_points(self) -> jax.Array:
+        return self.pt_valid.sum()
+
+    def ba_state(self) -> BAState:
+        return BAState(rvecs=self.rvecs, tvecs=self.tvecs, points=self.points)
+
+
+def _empty_obs(capacity: int) -> Observations:
+    return Observations(
+        cam_idx=jnp.zeros(capacity, jnp.int32),
+        pt_idx=jnp.zeros(capacity, jnp.int32),
+        uv=jnp.zeros((capacity, 2), jnp.float32),
+        valid=jnp.zeros(capacity, bool),
+    )
+
+
+def empty_map(n_cams: int, pts_per_frame: int) -> SfmMap:
+    """Capacities: P = n_cams * pts_per_frame, M = 3 * P (each point gets
+    up to one obs at birth in two frames + one PnP obs per later frame,
+    amortized to 3 blocks per frame — see block layout in the writers)."""
+    C = n_cams
+    P = n_cams * pts_per_frame
+    M = 3 * P
+    return SfmMap(
+        rvecs=jnp.zeros((C, 3), jnp.float32),
+        tvecs=jnp.zeros((C, 3), jnp.float32),
+        cam_valid=jnp.zeros(C, bool),
+        points=jnp.zeros((P, 3), jnp.float32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 128), jnp.float32),
+        obs=_empty_obs(M),
+    )
+
+
+def _write_obs_block(
+    obs: Observations, start: int, cam: jax.Array, pt_idx, uv, valid
+) -> Observations:
+    n = pt_idx.shape[0]
+    sl = slice(start, start + n)
+    return Observations(
+        cam_idx=obs.cam_idx.at[sl].set(jnp.full(n, cam, jnp.int32)),
+        pt_idx=obs.pt_idx.at[sl].set(pt_idx.astype(jnp.int32)),
+        uv=obs.uv.at[sl].set(uv),
+        valid=obs.valid.at[sl].set(valid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-view bootstrap
+# ---------------------------------------------------------------------------
+
+
+def init_two_view(
+    key,
+    f0: Features,
+    f1: Features,
+    K: jax.Array,
+    m: SfmMap,
+    pts_per_frame: int,
+    max_reproj: float = 2.0,
+) -> SfmMap:
+    """Bootstrap the map from frames 0/1: F -> E -> (R, t) -> triangulate.
+
+    Writes cameras 0 and 1, point block 0, observation blocks 0 and 1.
+    Keeps at most ``pts_per_frame`` best landmarks (static top-k).
+    """
+    match = match_descriptors(
+        f0.descriptors, f1.descriptors,
+        f0.keypoints.valid, f1.keypoints.valid,
+    )
+    p0, p1, pair_ok = matched_points(f0.keypoints, f1.keypoints, match)
+    res = ransac_fundamental(key, p0, p1, pair_ok, n_hypotheses=512)
+    E = essential_from_fundamental(res.model, K)
+    R, t, X, front = recover_pose(E, p0, p1, K, res.inliers)
+
+    from sift_parallel_optimization_tpu.models.geometry import rotation_log
+
+    rvec1 = rotation_log(R)
+    # Gate: in front of both cameras + reprojection error in both views.
+    e0 = reprojection_error(Camera(jnp.zeros(3), jnp.zeros(3)), X, p0, K)
+    e1 = reprojection_error(Camera(rvec1, t), X, p1, K)
+    good = front & (e0 < max_reproj) & (e1 < max_reproj)
+    score = jnp.where(good, match.similarity, -jnp.inf)
+    _, keep = jax.lax.top_k(score, pts_per_frame)
+    keep_ok = jnp.isfinite(jnp.take(score, keep))
+
+    pt_idx = jnp.arange(pts_per_frame)
+    m = m._replace(
+        rvecs=m.rvecs.at[1].set(rvec1),
+        tvecs=m.tvecs.at[1].set(t),
+        cam_valid=m.cam_valid.at[0].set(True).at[1].set(True),
+        points=m.points.at[pt_idx].set(X[keep]),
+        pt_valid=m.pt_valid.at[pt_idx].set(keep_ok),
+        pt_desc=m.pt_desc.at[pt_idx].set(f0.descriptors[keep]),
+    )
+    B = pts_per_frame
+    obs = _write_obs_block(m.obs, 0 * B, 0, pt_idx, p0[keep], keep_ok)
+    obs = _write_obs_block(obs, 1 * B, 1, pt_idx, p1[keep], keep_ok)
+    return m._replace(obs=obs)
+
+
+# ---------------------------------------------------------------------------
+# PnP RANSAC registration
+# ---------------------------------------------------------------------------
+
+
+def ransac_pnp(
+    key,
+    pts3d: jax.Array,
+    pts2d: jax.Array,
+    mask: jax.Array,
+    K: jax.Array,
+    n_hypotheses: int = 128,
+    threshold: float = 3.0,
+) -> tuple[Camera, jax.Array, jax.Array]:
+    """Batched-hypothesis PnP: (cam, inliers, n_inliers)."""
+    from sift_parallel_optimization_tpu.models.matching import _sample_indices
+
+    idx = _sample_indices(key, mask, n_hypotheses, 6)   # (N, 6)
+
+    def solve(i):
+        w = jnp.zeros(pts3d.shape[0]).at[i].set(1.0)
+        cam = pnp_dlt(pts3d, pts2d, K, w)
+        return jnp.concatenate([cam.rvec, cam.tvec])
+
+    thetas = jax.vmap(solve)(idx)                        # (N, 6)
+    ok = jnp.all(jnp.isfinite(thetas), axis=-1)
+    thetas = jnp.where(ok[:, None], thetas, 0.0)
+
+    def score(theta):
+        uv, z = project(pts3d, theta[:3], theta[3:], K)
+        err = jnp.linalg.norm(uv - pts2d, axis=-1)
+        return (err < threshold) & (z > 0) & mask
+
+    inl = jax.vmap(score)(thetas)                        # (N, K)
+    counts = jnp.where(ok, inl.sum(-1), -1)
+    best = jnp.argmax(counts)
+    cam = Camera(rvec=thetas[best, :3], tvec=thetas[best, 3:])
+    cam = refine_pose(
+        cam, pts3d, pts2d, K, inl[best].astype(jnp.float32), n_iters=5
+    )
+    uv, z = project(pts3d, cam.rvec, cam.tvec, K)
+    err = jnp.linalg.norm(uv - pts2d, axis=-1)
+    inliers = (err < threshold) & (z > 0) & mask
+    return cam, inliers, inliers.sum()
+
+
+# ---------------------------------------------------------------------------
+# Frame registration
+# ---------------------------------------------------------------------------
+
+
+def register_frame(
+    key,
+    m: SfmMap,
+    feats: Features,
+    prev_feats: Features,
+    frame_i: int,
+    K: jax.Array,
+    pts_per_frame: int,
+    max_reproj: float = 2.0,
+) -> SfmMap:
+    """Register frame ``frame_i`` (>= 2): PnP against the map, then
+    triangulate fresh landmarks against frame ``frame_i - 1``.
+
+    Static block layout (B = pts_per_frame):
+      * points block  [frame_i*B, (frame_i+1)*B)          — new landmarks
+      * obs block 3*frame_i*B + [0, B)                    — PnP (2D-3D) obs
+      * obs block 3*frame_i*B + [B, 2B)                   — new pts, this frame
+      * obs block 3*frame_i*B + [2B, 3B)                  — new pts, prev frame
+    """
+    B = pts_per_frame
+    k_pnp, k_tri = jax.random.split(key)
+
+    # --- 2D-3D: match this frame's descriptors against landmark descriptors.
+    m3 = match_descriptors(
+        feats.descriptors, m.pt_desc, feats.keypoints.valid, m.pt_valid
+    )
+    uv = jnp.stack([feats.keypoints.x, feats.keypoints.y], -1)   # (K, 2)
+    pts3d = m.points[m3.idx2]
+    mask3 = m3.valid & m.pt_valid[m3.idx2]
+    cam, inl, _n = ransac_pnp(k_pnp, pts3d, uv, mask3, K)
+
+    m = m._replace(
+        rvecs=m.rvecs.at[frame_i].set(cam.rvec),
+        tvecs=m.tvecs.at[frame_i].set(cam.tvec),
+        cam_valid=m.cam_valid.at[frame_i].set(True),
+    )
+    # PnP observations (cap to B by similarity-ranked top-k).
+    score = jnp.where(inl, m3.similarity, -jnp.inf)
+    _, keep = jax.lax.top_k(score, B)
+    keep_ok = jnp.isfinite(jnp.take(score, keep))
+    obs = _write_obs_block(
+        m.obs, 3 * frame_i * B, frame_i, m3.idx2[keep], uv[keep], keep_ok
+    )
+
+    # --- 2D-2D vs previous frame: triangulate new landmarks.
+    m2 = match_descriptors(
+        prev_feats.descriptors, feats.descriptors,
+        prev_feats.keypoints.valid, feats.keypoints.valid,
+    )
+    p_prev, p_cur, pair_ok = matched_points(
+        prev_feats.keypoints, feats.keypoints, m2
+    )
+    # Exclude keypoints already explained by the map (their match was used
+    # for PnP): a current keypoint used as an inlier PnP obs is not "new".
+    used = jnp.zeros(uv.shape[0], bool).at[keep].set(keep_ok)
+    fresh = pair_ok & ~used[m2.idx2]
+
+    prev_cam = Camera(m.rvecs[frame_i - 1], m.tvecs[frame_i - 1])
+    P_prev = prev_cam.matrix(K)
+    P_cur = cam.matrix(K)
+    X = triangulate(P_prev, P_cur, p_prev, p_cur)
+    z_prev = (X @ rodrigues(prev_cam.rvec).T + prev_cam.tvec)[:, 2]
+    z_cur = (X @ rodrigues(cam.rvec).T + cam.tvec)[:, 2]
+    e_prev = reprojection_error(prev_cam, X, p_prev, K)
+    e_cur = reprojection_error(cam, X, p_cur, K)
+    good = (
+        fresh & (z_prev > 0) & (z_cur > 0)
+        & (e_prev < max_reproj) & (e_cur < max_reproj)
+    )
+    score2 = jnp.where(good, m2.similarity, -jnp.inf)
+    _, keep2 = jax.lax.top_k(score2, B)
+    keep2_ok = jnp.isfinite(jnp.take(score2, keep2))
+
+    pt_idx = frame_i * B + jnp.arange(B)
+    m = m._replace(
+        points=m.points.at[pt_idx].set(X[keep2]),
+        pt_valid=m.pt_valid.at[pt_idx].set(keep2_ok),
+        pt_desc=m.pt_desc.at[pt_idx].set(feats.descriptors[m2.idx2[keep2]]),
+    )
+    obs = _write_obs_block(
+        obs, 3 * frame_i * B + B, frame_i,
+        pt_idx, p_cur[keep2], keep2_ok,
+    )
+    obs = _write_obs_block(
+        obs, 3 * frame_i * B + 2 * B, frame_i - 1,
+        pt_idx, p_prev[keep2], keep2_ok,
+    )
+    return m._replace(obs=obs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental driver
+# ---------------------------------------------------------------------------
+
+
+def run_sfm(
+    key,
+    features: Sequence[Features],
+    K: jax.Array,
+    pts_per_frame: int = 128,
+    ba_every: int = 4,
+    final_ba_iters: int = 15,
+    damping: float = 1e-4,
+    huber_delta: float | None = 2.0,
+) -> SfmMap:
+    """Full incremental pipeline over a list of per-frame features.
+
+    Python orchestration over jitted steps (each step has static shapes;
+    `jit` caches one executable per frame index pattern).
+    """
+    n = len(features)
+    m = empty_map(n, pts_per_frame)
+    keys = jax.random.split(key, n)
+    m = init_two_view(
+        keys[0], features[0], features[1], K, m, pts_per_frame
+    )
+    for i in range(2, n):
+        m = register_frame(
+            keys[i], m, features[i], features[i - 1], i, K, pts_per_frame
+        )
+        if ba_every and (i % ba_every == 0 or i == n - 1):
+            st = bundle_adjust(
+                m.ba_state(), m.obs, K,
+                n_iters=5, damping=damping, huber_delta=huber_delta,
+            )
+            m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
+    st = bundle_adjust(
+        m.ba_state(), m.obs, K,
+        n_iters=final_ba_iters, damping=damping, huber_delta=huber_delta,
+    )
+    return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
