@@ -11,6 +11,15 @@ TPU. The baseline number is the reference's C++ compiled with
 
 ``vs_baseline`` is the speedup over the reference's BEST variant.
 
+Measurement method (honest under the axon relay): this environment's
+`block_until_ready` resolves before device work completes, and every
+host->device round trip costs a variable ~0.1-32 ms. So iterations are
+CHAINED ON DEVICE with `lax.scan` (a data dependency through the carry
+keeps XLA from eliding or hoisting the work, and summing EVERY octave
+keeps them all live) and the per-frame time is the SLOPE between two chain
+lengths — fixed round-trip cost cancels. Each total is forced with a
+scalar fetch, best of several samples.
+
 Prints exactly one JSON line.
 """
 
@@ -27,27 +36,42 @@ BASELINE_BEST_MS = 2.52
 
 SIZE = 512
 S = 2
+CHAIN_LO = 50
+CHAIN_HI = 400
 
 
 def main() -> None:
-    from sift_parallel_optimization_tpu.ops.scale_space_pallas import (
-        reference_dog_pyramid_pallas,
+    from jax import lax
+
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        reference_dog_pyramid,
     )
 
     img = jnp.asarray(
         np.random.default_rng(0).random((SIZE, SIZE), np.float32)
     )
-    fn = jax.jit(lambda x: reference_dog_pyramid_pallas(x, S))
-    jax.block_until_ready(fn(img))  # compile
 
-    # Steady-state timing: repeat until >=2 s accumulated (the reference's
-    # repeat-until-threshold pattern, main.cpp:66-73, at 20x the budget).
-    t0 = time.perf_counter()
-    runs = 0
-    while time.perf_counter() - t0 < 2.0:
-        jax.block_until_ready(fn(img))
-        runs += 1
-    ms = (time.perf_counter() - t0) / runs * 1e3
+    def chained_total_ms(chain: int) -> float:
+        @jax.jit
+        def chained(x):
+            def body(c, _):
+                out = reference_dog_pyramid(c, S)
+                dep = sum(o.sum() for o in out)
+                return c + 1e-30 * dep, None
+            c, _ = lax.scan(body, x, None, length=chain)
+            return c.sum()
+
+        float(chained(img))  # compile + warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(chained(img))  # scalar fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    lo = chained_total_ms(CHAIN_LO)
+    hi = chained_total_ms(CHAIN_HI)
+    ms = max((hi - lo) / (CHAIN_HI - CHAIN_LO), 1e-6)
 
     print(
         json.dumps(

@@ -1,0 +1,180 @@
+"""Benchmark matrix: the reference's sweep harnesses, generalized.
+
+The reference explored its parallelism space by hand: a thread-count sweep
+(Timing_ThreadCount, GaussDePyramid-pThread.h:310-326), a commented-out
+OpenMP chunk-size sweep (main.cpp:43-59, GaussDePyramid-MPI.h:208-261), and
+editing #include lines to switch variants (main.cpp:5-13). Here the same
+study is one function: a matrix over {workload} x {variant} x {size} with
+honest device-chained slope timing (see utils/profiling.chained_slope_ms —
+wall-clock timing is unreliable through the axon relay) and JSONL records
+using BASELINE.md metric names.
+
+Workloads:
+  * pyramid  — REFERENCE-mode window+DoG (the reference's entire workload)
+  * frontend — full SIFT frontend (pyramid+detect+orient+describe)
+  * matching — descriptor matmul + ratio/mutual + RANSAC homography
+  * ba       — Schur-complement bundle adjustment (10 GN iters)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sift_parallel_optimization_tpu.utils.profiling import (
+    MetricsWriter,
+    chained_slope_ms,
+)
+
+
+def _rand_img(size: int) -> jax.Array:
+    return jnp.asarray(
+        np.random.default_rng(0).random((size, size), np.float32)
+    )
+
+
+def bench_pyramid(
+    writer: MetricsWriter, sizes=(256, 512, 1024), S: int = 2,
+    variants=("jnp", "pallas"), **kw,
+) -> None:
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        reference_dog_pyramid,
+    )
+    from sift_parallel_optimization_tpu.ops.scale_space_pallas import (
+        reference_dog_pyramid_pallas,
+    )
+
+    impls = {
+        "pallas": reference_dog_pyramid_pallas,
+        "jnp": reference_dog_pyramid,
+    }
+    for size in sizes:
+        img = _rand_img(size)
+        for variant in variants:
+            impl = impls[variant]
+
+            def step(x, impl=impl):
+                return sum(o.sum() for o in impl(x, S))
+
+            ms = chained_slope_ms(step, img)
+            writer.write(
+                f"pyramid_dog_ms_per_frame_{size}", round(ms, 4), "ms",
+                variant=variant, S=S,
+                frames_per_s=round(1e3 / max(ms, 1e-6), 1),
+            )
+
+
+def bench_frontend(
+    writer: MetricsWriter, sizes=(256, 512), max_keypoints: int = 512, **kw,
+) -> None:
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+
+    for size in sizes:
+        cfg = sift_config(size)
+        img = _rand_img(size)
+
+        def step(x):
+            f = extract_features(x, cfg, max_keypoints)
+            return f.descriptors.sum() + f.keypoints.score.sum()
+
+        ms = chained_slope_ms(step, img, chain_lo=30, chain_hi=150)
+        writer.write(
+            f"frontend_ms_per_frame_{size}", round(ms, 4), "ms",
+            max_keypoints=max_keypoints,
+            frames_per_s=round(1e3 / max(ms, 1e-6), 1),
+        )
+
+
+def bench_matching(writer: MetricsWriter, k: int = 512, **kw) -> None:
+    from sift_parallel_optimization_tpu.models.matching import (
+        match_descriptors,
+        ransac_homography,
+    )
+
+    rng = np.random.default_rng(0)
+    d1 = rng.normal(size=(k, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = jnp.asarray(np.roll(d1, 7, axis=0))
+    d1 = jnp.asarray(d1)
+    v = jnp.ones(k, bool)
+    p1 = jnp.asarray(rng.uniform(0, 512, (k, 2)).astype(np.float32))
+    p2 = p1 + 5.0
+    key = jax.random.key(0)
+
+    def match_step(x):
+        m = match_descriptors(d1 + 1e-12 * x.sum(), d2, v, v)
+        return m.similarity.sum()
+
+    ms = chained_slope_ms(match_step, d1, chain_lo=30, chain_hi=200)
+    writer.write(f"match_ms_{k}x{k}", round(ms, 4), "ms")
+
+    def ransac_step(x):
+        r = ransac_homography(key, p1 + 1e-12 * x.sum(), p2, v, 256)
+        return r.model.sum() + r.n_inliers.astype(jnp.float32)
+
+    ms = chained_slope_ms(ransac_step, p1, chain_lo=30, chain_hi=200)
+    writer.write(f"ransac_homography_ms_{k}", round(ms, 4), "ms")
+
+
+def bench_ba(
+    writer: MetricsWriter, n_cams: int = 20, n_pts: int = 500,
+    n_iters: int = 10, **kw,
+) -> None:
+    from sift_parallel_optimization_tpu.models.ba import (
+        BAState,
+        Observations,
+        bundle_adjust,
+    )
+    from sift_parallel_optimization_tpu.models.geometry import project
+
+    K = jnp.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-2, 2, (n_pts, 3)).astype(np.float32))
+    pts = pts.at[:, 2].add(8.0)
+    rvecs = jnp.asarray(rng.normal(size=(n_cams, 3)).astype(np.float32) * 0.02)
+    tvecs = jnp.asarray(
+        np.stack(
+            [np.linspace(-2, 2, n_cams), np.zeros(n_cams), np.zeros(n_cams)], 1
+        ).astype(np.float32)
+    )
+    uv = jnp.concatenate(
+        [project(pts, rvecs[i], tvecs[i], K)[0] for i in range(n_cams)]
+    )
+    obs = Observations(
+        cam_idx=jnp.repeat(jnp.arange(n_cams), n_pts),
+        pt_idx=jnp.tile(jnp.arange(n_pts), n_cams),
+        uv=uv, valid=jnp.ones(n_cams * n_pts, bool),
+    )
+    state = BAState(
+        rvecs=rvecs + 0.005, tvecs=tvecs + 0.01, points=pts + 0.02
+    )
+
+    def step(x):
+        st = state._replace(points=state.points + 1e-12 * x.sum())
+        out = bundle_adjust(st, obs, K, n_iters=n_iters)
+        return out.points.sum() + out.tvecs.sum()
+
+    ms = chained_slope_ms(step, pts, chain_lo=3, chain_hi=12, repeats=2)
+    writer.write(
+        f"ba_ms_{n_cams}cams_{n_pts}pts_{n_iters}iters", round(ms, 2), "ms",
+        obs=n_cams * n_pts,
+    )
+
+
+def run_suite(
+    writer: MetricsWriter,
+    workloads=("pyramid", "frontend", "matching", "ba"),
+    **kw,
+) -> None:
+    if "pyramid" in workloads:
+        bench_pyramid(writer, **kw)
+    if "frontend" in workloads:
+        bench_frontend(writer, **kw)
+    if "matching" in workloads:
+        bench_matching(writer, **kw)
+    if "ba" in workloads:
+        bench_ba(writer, **kw)

@@ -1,0 +1,203 @@
+"""Command-line entry point (replaces the reference's #include-toggling).
+
+The reference selected variants by commenting #include lines and editing
+globals, then recompiling (main.cpp:5-19, SURVEY.md section 5 config row).
+Here: one CLI over the installed package.
+
+  python -m sift_parallel_optimization_tpu.cli bench --workloads pyramid
+  python -m sift_parallel_optimization_tpu.cli features --image in.pgm
+  python -m sift_parallel_optimization_tpu.cli pyramid --size 512 --dump-dir /tmp/oct
+  python -m sift_parallel_optimization_tpu.cli sfm --frames 8 --size 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_bench(args) -> int:
+    from sift_parallel_optimization_tpu.bench.suite import run_suite
+    from sift_parallel_optimization_tpu.utils.profiling import MetricsWriter
+
+    with MetricsWriter(args.out) as w:
+        run_suite(
+            w, workloads=args.workloads.split(","),
+            min_seconds=args.min_seconds,
+        )
+    return 0
+
+
+def _load_image(args):
+    import jax.numpy as jnp
+
+    from sift_parallel_optimization_tpu.utils import native
+
+    if args.image:
+        img = native.read_pgm(args.image)
+        # Crop to the largest centered square power-of-two-friendly size.
+        side = min(img.shape)
+        img = img[:side, :side]
+        return jnp.asarray(img)
+    return jnp.asarray(native.synth_frame(args.size, 0, seed=args.seed))
+
+
+def _cmd_pyramid(args) -> int:
+    import jax
+    import numpy as np
+
+    img = _load_image(args)
+    if args.mode == "reference":
+        from sift_parallel_optimization_tpu.ops.scale_space_pallas import (
+            reference_dog_pyramid_pallas,
+        )
+
+        out = jax.jit(
+            lambda x: reference_dog_pyramid_pallas(x, args.S)
+        )(img)
+    else:
+        from sift_parallel_optimization_tpu.config import (
+            PyramidConfig,
+            ScaleSpaceMode,
+        )
+        from sift_parallel_optimization_tpu.core.pyramid_ref import (
+            sift_dog_pyramid,
+        )
+
+        cfg = PyramidConfig(
+            length=img.shape[0], S=args.S, mode=ScaleSpaceMode.SIFT
+        )
+        out = jax.jit(lambda x: sift_dog_pyramid(x, cfg))(img)
+    for o, planes in enumerate(out):
+        print(f"octave {o}: shape={tuple(planes.shape)} "
+              f"mean={float(planes.mean()):+.5f} std={float(planes.std()):.5f}")
+    if args.dump_dir:
+        # The reference's output() dumped scale 0 of each octave
+        # (GuassDePyramid.h:89-104); we write PGMs instead of stdout walls.
+        import os
+
+        from sift_parallel_optimization_tpu.utils import native
+
+        os.makedirs(args.dump_dir, exist_ok=True)
+        for o, planes in enumerate(out):
+            p = np.asarray(planes[0])
+            p = (p - p.min()) / max(p.max() - p.min(), 1e-9)
+            native.write_pgm(f"{args.dump_dir}/octave{o}.pgm", p)
+        print(f"dumped {len(out)} octaves to {args.dump_dir}")
+    return 0
+
+
+def _cmd_features(args) -> int:
+    import jax
+
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+
+    img = _load_image(args)
+    cfg = sift_config(img.shape[0])
+    feats = jax.jit(
+        lambda x: extract_features(x, cfg, args.max_keypoints)
+    )(img)
+    kp = feats.keypoints
+    n = int(kp.count())
+    print(f"{n} keypoints (capacity {kp.capacity})")
+    import numpy as np
+
+    v = np.asarray(kp.valid)
+    if n:
+        print(f"  sigma range: {np.asarray(kp.sigma)[v].min():.2f}"
+              f" .. {np.asarray(kp.sigma)[v].max():.2f}")
+        print(f"  octaves used: {sorted(set(np.asarray(kp.octave)[v].tolist()))}")
+    return 0
+
+
+def _cmd_sfm(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.models.sfm import run_sfm
+    from sift_parallel_optimization_tpu.models.ba import rms_error
+    from sift_parallel_optimization_tpu.utils import native
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        ate_rmse,
+        camera_centers,
+    )
+
+    size = args.size
+    focal = float(size)
+    cfg = sift_config(size)
+    K = jnp.array(
+        [[focal, 0.0, size / 2], [0.0, focal, size / 2], [0.0, 0.0, 1.0]]
+    )
+    # Ground-truth trajectory through the native 3-D blob cloud: sideways
+    # translation + slight yaw (real parallax).
+    gt_rvecs = np.stack(
+        [[0.0, 0.03 * i, 0.0] for i in range(args.frames)]
+    ).astype(np.float32)
+    gt_tvecs = np.stack(
+        [[-0.35 * i, 0.0, 0.04 * i] for i in range(args.frames)]
+    ).astype(np.float32)
+
+    fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+    feats = []
+    for i in range(args.frames):
+        img = native.render_frame(
+            size, gt_rvecs[i], gt_tvecs[i], focal, seed=args.seed
+        )
+        feats.append(fe(jnp.asarray(img)))
+    m = run_sfm(jax.random.key(args.seed), feats, K)
+    print(f"cameras: {int(m.cam_valid.sum())}/{args.frames}  "
+          f"landmarks: {int(m.pt_valid.sum())}  "
+          f"observations: {int(m.obs.valid.sum())}")
+    print(f"reprojection RMS: {float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
+    est = camera_centers(m.rvecs, m.tvecs)
+    gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+    ate = float(ate_rmse(est, gt))
+    span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+    print(f"ATE (Sim3-aligned): {ate:.4f}  (trajectory span {span:.2f})")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sift_parallel_optimization_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench", help="run the benchmark matrix")
+    b.add_argument("--workloads", default="pyramid,frontend,matching,ba")
+    b.add_argument("--out", default=None, help="JSONL path (default stdout)")
+    b.add_argument("--min-seconds", type=float, default=1.0)
+    b.set_defaults(fn=_cmd_bench)
+
+    for name, fn in (("pyramid", _cmd_pyramid), ("features", _cmd_features)):
+        c = sub.add_parser(name)
+        c.add_argument("--image", default=None, help="input PGM")
+        c.add_argument("--size", type=int, default=512)
+        c.add_argument("--seed", type=int, default=0)
+        if name == "pyramid":
+            c.add_argument("--S", type=int, default=2)
+            c.add_argument("--mode", choices=("reference", "sift"),
+                           default="reference")
+            c.add_argument("--dump-dir", default=None)
+        else:
+            c.add_argument("--max-keypoints", type=int, default=512)
+        c.set_defaults(fn=fn)
+
+    s = sub.add_parser("sfm", help="synthetic-sequence SfM demo")
+    s.add_argument("--frames", type=int, default=6)
+    s.add_argument("--size", type=int, default=256)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_sfm)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

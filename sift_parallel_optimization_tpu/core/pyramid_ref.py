@@ -83,32 +83,105 @@ def reference_dog_octave(base: jax.Array, S: int) -> jax.Array:
     return base[None, :, :] * w_all
 
 
+def strided_subsample(img: jax.Array, step: int) -> jax.Array:
+    """img[::step, ::step], expressed as a 1x1-window stride-``step``
+    reduce_window.
+
+    A plain strided slice breaks the TPU's (8, 128) lane layout and lowers
+    to a gather costing ~0.7 ms at 512^2; a stride-2 1x1 conv costs
+    ~0.06 ms; the identical computation as a reduce_window picks XLA's
+    native strided-window path and measures ~free (<5 us).
+    """
+    if step == 1:
+        return img
+    return lax.reduce_window(
+        img, 0.0, lax.add, (1, 1), (step, step), "VALID"
+    )
+
+
 def reference_subsample(img: jax.Array, octave: int) -> jax.Array:
     """Octave o base: the 2^o-strided subsample of the ORIGINAL image
     (GuassDePyramid.h:74-86 — not a cascade over previous octaves)."""
     step = 2**octave
     size = img.shape[0] // step
-    return img[::step, ::step][:size, :size]
+    return strided_subsample(img, step)[:size, :size]
+
+
+def _octave_bases(img: jax.Array, n_octaves: int) -> list[jax.Array]:
+    """Cascaded stride-2 subsampling: base_o = base_{o-1}[::2, ::2].
+
+    Identical indexing to the reference's independent 2^o-strided subsample
+    of the original image (GuassDePyramid.h:74-86) — ([::2])^o == [::2^o]
+    on an integer grid — but each step reads the (shrinking) previous base
+    instead of re-reading the full image with a growing stride.
+    """
+    bases = [img]
+    for o in range(1, n_octaves):
+        prev = bases[-1]
+        size = prev.shape[0] // 2
+        bases.append(strided_subsample(prev, 2)[:size, :size])
+    return bases
+
+
+def _reference_dog_tail_batched(
+    bases: list[jax.Array], S: int
+) -> list[jax.Array]:
+    """DoG for the small-octave tail as ONE padded batched op.
+
+    Computing each tiny octave separately costs a fixed per-kernel
+    overhead that dwarfs the (few-KB) math; padding every tail base to the
+    largest tail size and computing all of them in one fused expression
+    collapses ~6 kernel launches into 1.
+    """
+    if not bases:
+        return []
+    n_scales = S + 3
+    t = bases[0].shape[0]  # largest tail size (descending order)
+    stacked = jnp.stack(
+        [jnp.pad(b, ((0, t - b.shape[0]), (0, t - b.shape[0]))) for b in bases]
+    )  # (n_tail, t, t)
+    banks = jnp.stack(
+        [
+            jnp.pad(
+                reference_filter_bank(b.shape[0], n_scales, dtype=b.dtype),
+                ((0, 0), (0, t - b.shape[0])),
+            )
+            for b in bases
+        ]
+    )  # (n_tail, n_scales, t)
+    windows = banks[:, :, :, None] * banks[:, :, None, :]
+    w_dog = windows[:, :-1] - windows[:, 1:]
+    w_all = jnp.concatenate([w_dog, windows[:, -1:]], axis=1)
+    out = stacked[:, None] * w_all  # (n_tail, n_scales, t, t)
+    return [
+        out[i, :, : b.shape[0], : b.shape[0]] for i, b in enumerate(bases)
+    ]
 
 
 def reference_dog_pyramid(
-    img: jax.Array, S: int, n_octaves: int | None = None
+    img: jax.Array,
+    S: int,
+    n_octaves: int | None = None,
+    tail_threshold: int = 64,
 ) -> list[jax.Array]:
     """Full REFERENCE-mode pipeline: list of (S+3, size_o, size_o) per octave.
 
     Equivalent to GaussPyramid::GenerateDoG over GaussPyInit-ed state
     (GuassDePyramid.h:60-149), validated bit-for-bit against
-    core/numpy_golden.py.
+    core/numpy_golden.py. Octaves smaller than ``tail_threshold`` are
+    computed in one padded batched op (see _reference_dog_tail_batched).
     """
     img = img.astype(jnp.float32)
     total = num_octaves(img.shape[0])
     if n_octaves is None:
         n_octaves = total
     n_octaves = min(n_octaves, total)
-    return [
-        reference_dog_octave(reference_subsample(img, o), S)
-        for o in range(n_octaves)
-    ]
+    bases = _octave_bases(img, n_octaves)
+    head = [b for b in bases if b.shape[0] >= tail_threshold]
+    tail = [b for b in bases if b.shape[0] < tail_threshold]
+    out = [reference_dog_octave(b, S) for b in head]
+    out.extend(_reference_dog_tail_batched(tail, S))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -221,14 +294,17 @@ def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]
     """
     x = img.astype(cfg.dtype)
     base_sigma = math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
-    x = separable_blur(x, gaussian_kernel_1d(base_sigma, cfg.dtype))
+    # Base blur ALSO as a Toeplitz matmul: the 1-channel conv lowering of
+    # separable_blur costs ~1.4 ms at 512^2 on TPU (starved MXU); the same
+    # op as B^T X B is ~0.02 ms.
+    x = blur_bank(x, [base_sigma])[0]
     rel = _octave_scale_sigmas(cfg)
     octaves = []
     for _o in range(cfg.n_octaves):
         octave = jnp.concatenate([x[None], blur_bank(x, rel)], axis=0)
         octaves.append(octave)
         # Next octave base: scale index S has absolute blur 2*sigma0.
-        x = octave[cfg.S][::2, ::2]
+        x = strided_subsample(octave[cfg.S], 2)
     return octaves
 
 

@@ -1,100 +1,151 @@
 """Orientation assignment + 128-d SIFT descriptors, fully on device.
 
 North-star extension (BASELINE.json config 2); the reference has no
-descriptor stage. TPU-first design — NO scattered gathers on the hot path:
+descriptor stage. TPU-first design — ONE pass over the keypoints, no
+scattered gathers:
 
-* Per keypoint, a fixed-size axis-aligned patch is cut from the (zero-
-  padded) Gaussian plane with a vmapped `dynamic_slice` — the only gather
-  in the pipeline, and a contiguous-block one.
+* All octaves' Gaussian planes are packed into one 2-D "plane atlas"
+  (scales and octaves stacked vertically, spatially padded so every patch
+  window is in bounds and every patch origin can be aligned to the
+  (8, 128) tile grid).
+* ONE Pallas DMA-gather (ops/patch_gather.py) pulls a (96, 256) patch per
+  keypoint straight from the keypoint's own (octave, scale) plane —
+  ~30x faster than the XLA gather a vmapped dynamic_slice lowers to, and
+  it removes the per-octave masked passes entirely (they re-sampled every
+  keypoint against every octave).
 * The sigma-proportional sample grid is AXIS-ALIGNED (rotation is applied
-  to the bin coordinates and gradient angles, not the sampling lattice — the
-  classic trick that makes resampling separable), so resampling is two small
-  batched matmuls against bilinear hat-weight matrices: MXU work, not
-  gather work.
+  to bin coordinates and gradient angles, not the sampling lattice), so
+  resampling is two small batched matmuls against bilinear hat-weight
+  matrices — MXU work.
 * Gradients are central differences ON the resampled grid (uniform sigma-
-  proportional spacing — scale-normalized by construction; the magnitude
-  scale factor cancels in histogram normalization).
-* Histogram votes use one-hot einsums (batched matmuls) with the trilinear
+  proportional spacing — scale-normalized by construction).
+* Histogram votes are one-hot einsums (batched matmuls) with the trilinear
   corner loop unrolled statically.
-* Keypoints of all octaves share one fixed-capacity array; each octave is a
-  masked pass (octave count is static), keeping the frontend a single jit
-  program with static shapes throughout.
+
+Orientation and descriptor share the same patches: use
+``orient_and_describe`` for the fused path (the frontend does); the
+separate ``assign_orientations`` / ``compute_descriptors`` entry points
+are kept for tests and ad-hoc use.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from sift_parallel_optimization_tpu.models.keypoints import Keypoints
+from sift_parallel_optimization_tpu.ops.patch_gather import (
+    extract_atlas_patches,
+)
 
 N_ORI_BINS = 36
 ORI_SIGMA_FACTOR = 1.5     # orientation window sigma = 1.5 * keypoint sigma
 ORI_RADIUS_FACTOR = 3.0    # window radius = 3 * window sigma
 ORI_GRID = 18              # samples per axis (16x16 usable gradients)
-ORI_PATCH = 48             # patch side, covers radius 4.5*sigma_o <= ~17 px
 
 DESC_WIDTH = 4             # 4x4 spatial bins
 DESC_ORI_BINS = 8
 DESC_GRID = 26             # samples per axis (24x24 usable gradients)
-DESC_PATCH = 96            # covers radius sqrt(2)*1.5*sigma*(d+1) <= ~40 px
 DESC_BIN_SIGMA = 3.0       # spatial bin width = 3 * sigma_o (Lowe 2004)
 DESC_CLIP = 0.2
 
+# Atlas geometry. Patch must cover the largest descriptor window radius
+# (sqrt(2) * 1.5 * sigma_o_max * (d+1) ~ 40 px for sigma_o <= 3.7) plus
+# alignment slack: rows align to 8, cols to 128.
+ROW_PAD = 48               # top pad per octave (multiple of 8, >= 41 + 8)
+COL_PAD = 128              # left pad per octave (one lane tile, >= 41)
+PATCH_ROWS = 96            # 41 + 8 slack + 41, rounded to sublanes
+PATCH_COLS = 256           # 41 + 128 slack + 41, rounded to lanes
 
-def _pad_octave(gauss: jax.Array, pad: int) -> jax.Array:
-    """Zero-pad (S+3, H, W) spatially so every patch slice is in bounds.
 
-    Zero padding (not edge) so out-of-image samples have zero gradient
-    magnitude and silently drop out of the histograms.
+def _roundup(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def build_atlas(gauss_octaves: list[jax.Array]):
+    """Pack (S+3, H_o, W_o) octaves into one (R, C) atlas + index tables.
+
+    Scale s of octave o occupies rows
+    [row_off[o] + s * hprime[o], row_off[o] + (s+1) * hprime[o]) with the
+    image itself starting ROW_PAD rows / COL_PAD cols into its band.
     """
-    return jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+    heights = [g.shape[1] for g in gauss_octaves]
+    widths = [g.shape[2] for g in gauss_octaves]
+    wlim = [_roundup(w, 128) for w in widths]      # max aligned x0
+    hprime = [2 * ROW_PAD + _roundup(h, 8) for h in heights]
+    C = max(COL_PAD + wl + 128 for wl in wlim)
+    blocks, row_off = [], []
+    r = 0
+    for g, hp, w in zip(gauss_octaves, hprime, widths):
+        s, h, _ = g.shape
+        block = jnp.pad(
+            g,
+            (
+                (0, 0),
+                (ROW_PAD, hp - ROW_PAD - h),
+                (COL_PAD, C - COL_PAD - w),
+            ),
+        ).reshape(s * hp, C)
+        blocks.append(block)
+        row_off.append(r)
+        r += s * hp
+    atlas = jnp.concatenate(blocks, axis=0)
+    meta = {
+        "row_off": jnp.asarray(row_off, jnp.int32),
+        "hprime": jnp.asarray(hprime, jnp.int32),
+        "wlim": jnp.asarray(wlim, jnp.int32),
+    }
+    return atlas, meta
 
 
-def _extract_patches(
-    padded: jax.Array, kp: Keypoints, octave: int, patch: int
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """(K, patch, patch) axis-aligned patches around each keypoint.
+def _keypoint_patches(gauss_octaves: list[jax.Array], kp: Keypoints):
+    """One aligned (96, 256) patch per keypoint from its own plane.
 
-    Returns (patches, fy, fx): fractional keypoint position relative to the
-    patch center (sample coordinates are patch_center + offset + f).
+    Returns (patches, py, px, sig_o): float in-patch keypoint coordinates
+    (fractional) and the keypoint sigma in octave pixels.
     """
-    pad = patch // 2 + 1
-    inv = 1.0 / float(2**octave)
-    y_o, x_o = kp.y * inv, kp.x * inv
-    yi = jnp.floor(y_o)
-    xi = jnp.floor(x_o)
-    fy, fx = y_o - yi, x_o - xi
-    h, w = padded.shape[-2] - 2 * pad, padded.shape[-1] - 2 * pad
-    ys = jnp.clip(yi.astype(jnp.int32), 0, max(h - 1, 0)) - patch // 2 + pad
-    xs = jnp.clip(xi.astype(jnp.int32), 0, max(w - 1, 0)) - patch // 2 + pad
+    atlas, meta = build_atlas(gauss_octaves)
+    o = jnp.clip(kp.octave, 0, len(gauss_octaves) - 1)
+    inv = jnp.exp2(-o.astype(jnp.float32))
+    y_o = kp.y * inv
+    x_o = kp.x * inv
+    sig_o = kp.sigma * inv
+    ya = y_o + ROW_PAD
+    xa = x_o + COL_PAD
+    hp = meta["hprime"][o]
+    wl = meta["wlim"][o]
+    ro = meta["row_off"][o]
+    y0l = jnp.clip(
+        (jnp.floor((ya - 41.0) / 8.0) * 8).astype(jnp.int32),
+        0,
+        hp - PATCH_ROWS,
+    )
+    x0 = jnp.clip(
+        (jnp.floor((xa - 44.0) / 128.0) * 128).astype(jnp.int32), 0, wl
+    )
+    grow = ro + kp.scale * hp + y0l
+    patches = extract_atlas_patches(atlas, grow, x0, PATCH_ROWS, PATCH_COLS)
+    py = ya - y0l.astype(jnp.float32)
+    px = xa - x0.astype(jnp.float32)
+    return patches, py, px, sig_o
 
-    def one(s, y0, x0):
-        return lax.dynamic_slice(
-            padded, (s, y0, x0), (1, patch, patch)
-        )[0]
 
-    patches = jax.vmap(one)(kp.scale, ys, xs)
-    return patches, fy, fx
-
-
-def _hat_weights(coords: jax.Array, patch: int) -> jax.Array:
-    """(K, G) absolute patch coords -> (K, G, patch) bilinear hat weights."""
-    p = jnp.arange(patch, dtype=jnp.float32)
+def _hat_weights(coords: jax.Array, extent: int) -> jax.Array:
+    """(K, G) absolute patch coords -> (K, G, extent) bilinear hat weights."""
+    p = jnp.arange(extent, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - p))
 
 
-def _resample(patches, fy, fx, offsets, patch: int) -> jax.Array:
+def _resample(patches, py, px, offsets) -> jax.Array:
     """Separable bilinear resample at axis-aligned sigma-scaled offsets.
 
-    patches: (K, P, P); offsets: (K, G) pixel offsets from the keypoint.
-    Returns (K, G, G) samples at (kp + offset_row, kp + offset_col).
+    patches: (K, PR, PC); py/px: (K,) in-patch keypoint coords;
+    offsets: (K, G) pixel offsets. Returns (K, G, G) samples.
     """
-    cy = fy[:, None] + patch // 2 + offsets          # (K, G) rows
-    cx = fx[:, None] + patch // 2 + offsets          # (K, G) cols
-    ay = _hat_weights(cy, patch)                     # (K, G, P)
-    ax = _hat_weights(cx, patch)                     # (K, G, P)
+    cy = py[:, None] + offsets                       # (K, G) rows
+    cx = px[:, None] + offsets                       # (K, G) cols
+    ay = _hat_weights(cy, PATCH_ROWS)                # (K, G, PR)
+    ax = _hat_weights(cx, PATCH_COLS)                # (K, G, PC)
     t = jnp.einsum("kgp,kpq->kgq", ay, patches,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("kgq,khq->kgh", t, ax,
@@ -119,29 +170,22 @@ def _smooth_hist_circular(hist: jax.Array, iters: int = 2) -> jax.Array:
     return hist
 
 
-def _orientation_hist_octave(
-    gauss: jax.Array, kp: Keypoints, octave: int
-) -> jax.Array:
-    """(K, 36) gradient-orientation histogram for one octave's keypoints."""
+def _orientation_from_patches(patches, py, px, sig_o, kp: Keypoints):
+    """(K,) dominant orientation from shared keypoint patches."""
     g = ORI_GRID
-    padded = _pad_octave(gauss, ORI_PATCH // 2 + 1)
-    patches, fy, fx = _extract_patches(padded, kp, octave, ORI_PATCH)
-
-    sig_o = kp.sigma / float(2**octave)
+    k = kp.capacity
     win_sigma = ORI_SIGMA_FACTOR * sig_o
     radius = ORI_RADIUS_FACTOR * win_sigma            # (K,)
     lin = jnp.linspace(-1.0, 1.0, g)
     offsets = lin[None, :] * radius[:, None]          # (K, G)
-    step = offsets[:, 1] - offsets[:, 0]              # (K,) grid spacing
 
-    samples = _resample(patches, fy, fx, offsets, ORI_PATCH)
+    samples = _resample(patches, py, px, offsets)
     gy, gx = _grid_gradients(samples)                 # (K, g-2, g-2)
-    k = kp.capacity
     mag = jnp.sqrt(gx * gx + gy * gy).reshape(k, -1)
     ang = jnp.arctan2(gy, gx).reshape(k, -1)
 
-    du = offsets[:, 1:-1]                             # interior offsets
-    d2 = du[:, :, None] ** 2 + du[:, None, :] ** 2    # (K, g-2, g-2)
+    du = offsets[:, 1:-1]
+    d2 = du[:, :, None] ** 2 + du[:, None, :] ** 2
     w = mag * jnp.exp(
         -d2.reshape(k, -1) / (2.0 * win_sigma[:, None] ** 2 + 1e-12)
     )
@@ -149,27 +193,11 @@ def _orientation_hist_octave(
     binf = (ang + jnp.pi) / (2 * jnp.pi) * N_ORI_BINS
     bin_i = jnp.clip(binf.astype(jnp.int32), 0, N_ORI_BINS - 1)
     onehot = jax.nn.one_hot(bin_i, N_ORI_BINS, dtype=w.dtype)
-    return jnp.einsum("kp,kpb->kb", w, onehot,
+    hist = jnp.einsum("kp,kpb->kb", w, onehot,
                       preferred_element_type=jnp.float32)
 
-
-def assign_orientations(
-    gauss_octaves: list[jax.Array], kp: Keypoints
-) -> Keypoints:
-    """Fill ``kp.orientation`` with the dominant gradient direction.
-
-    One orientation per keypoint (the dominant histogram peak with parabolic
-    interpolation). Secondary peaks (Lowe's 80% rule) are intentionally not
-    duplicated — capacity-stable shapes beat a ~15% keypoint count increase
-    on TPU; the slot budget is better spent on fresh detections.
-    """
-    hist = jnp.zeros((kp.capacity, N_ORI_BINS), jnp.float32)
-    for o, gauss in enumerate(gauss_octaves):
-        h = _orientation_hist_octave(gauss, kp, o)
-        hist = jnp.where((kp.octave == o)[:, None], h, hist)
-
     hist = _smooth_hist_circular(hist)
-    peak = jnp.argmax(hist, axis=-1)                  # (K,)
+    peak = jnp.argmax(hist, axis=-1)
     hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
     hl = jnp.take_along_axis(hist, ((peak - 1) % N_ORI_BINS)[:, None], -1)[:, 0]
     hr = jnp.take_along_axis(hist, ((peak + 1) % N_ORI_BINS)[:, None], -1)[:, 0]
@@ -177,36 +205,26 @@ def assign_orientations(
     frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
     binf = peak.astype(jnp.float32) + frac
     theta = binf / N_ORI_BINS * 2 * jnp.pi - jnp.pi
-    theta = jnp.mod(theta + jnp.pi, 2 * jnp.pi) - jnp.pi
-    return kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
+    return jnp.mod(theta + jnp.pi, 2 * jnp.pi) - jnp.pi
 
 
-def _descriptor_octave(
-    gauss: jax.Array, kp: Keypoints, octave: int
-) -> jax.Array:
-    """(K, d*d*8) raw descriptor histograms for one octave's keypoints."""
+def _descriptors_from_patches(patches, py, px, sig_o, theta, kp: Keypoints):
+    """(K, 128) raw descriptor histograms from shared keypoint patches."""
     d = DESC_WIDTH
     g = DESC_GRID
-    padded = _pad_octave(gauss, DESC_PATCH // 2 + 1)
-    patches, fy, fx = _extract_patches(padded, kp, octave, DESC_PATCH)
-
-    sig_o = kp.sigma / float(2**octave)
+    k = kp.capacity
     bin_w = DESC_BIN_SIGMA * sig_o                    # (K,) pixels per bin
-    # Axis-aligned window must cover the rotated d x d bin square.
     radius = bin_w * (2**0.5) * (d + 1) * 0.5
     lin = jnp.linspace(-1.0, 1.0, g)
     offsets = lin[None, :] * radius[:, None]          # (K, G)
 
-    samples = _resample(patches, fy, fx, offsets, DESC_PATCH)
+    samples = _resample(patches, py, px, offsets)
     gy, gx = _grid_gradients(samples)
-    k = kp.capacity
     p = (g - 2) * (g - 2)
     mag = jnp.sqrt(gx * gx + gy * gy).reshape(k, p)
-    theta = kp.orientation
     ang = jnp.arctan2(gy, gx).reshape(k, p) - theta[:, None]
 
-    # Rotate sample offsets into the descriptor frame, in bin units.
-    du = offsets[:, 1:-1]                             # (K, g-2) rows (y)
+    du = offsets[:, 1:-1]
     dy = jnp.broadcast_to(du[:, :, None], (k, g - 2, g - 2)).reshape(k, p)
     dx = jnp.broadcast_to(du[:, None, :], (k, g - 2, g - 2)).reshape(k, p)
     cos_t, sin_t = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
@@ -249,20 +267,49 @@ def _descriptor_octave(
     return hist
 
 
+def _normalize_desc(hist: jax.Array, valid: jax.Array) -> jax.Array:
+    norm = jnp.linalg.norm(hist, axis=-1, keepdims=True)
+    desc = hist / jnp.maximum(norm, 1e-7)
+    desc = jnp.minimum(desc, DESC_CLIP)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-7)
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
+def orient_and_describe(
+    gauss_octaves: list[jax.Array], kp: Keypoints
+) -> tuple[Keypoints, jax.Array]:
+    """Fused path: one patch gather feeds orientation AND descriptor."""
+    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
+    theta = _orientation_from_patches(patches, py, px, sig_o, kp)
+    kp = kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
+    hist = _descriptors_from_patches(
+        patches, py, px, sig_o, kp.orientation, kp
+    )
+    return kp, _normalize_desc(hist, kp.valid)
+
+
+def assign_orientations(
+    gauss_octaves: list[jax.Array], kp: Keypoints
+) -> Keypoints:
+    """Fill ``kp.orientation`` with the dominant gradient direction.
+
+    One orientation per keypoint (the dominant histogram peak with
+    parabolic interpolation). Secondary peaks (Lowe's 80% rule) are
+    intentionally not duplicated — capacity-stable shapes beat a ~15%
+    keypoint count increase on TPU.
+    """
+    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
+    theta = _orientation_from_patches(patches, py, px, sig_o, kp)
+    return kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
+
+
 def compute_descriptors(
     gauss_octaves: list[jax.Array], kp: Keypoints
 ) -> jax.Array:
     """(K, 128) L2-normalized, 0.2-clipped SIFT descriptors (Lowe 2004)."""
-    d = DESC_WIDTH
-    hist = jnp.zeros((kp.capacity, d * d * DESC_ORI_BINS), jnp.float32)
-    for o, gauss in enumerate(gauss_octaves):
-        h = _descriptor_octave(gauss, kp, o)
-        hist = jnp.where((kp.octave == o)[:, None], h, hist)
-
-    desc = hist
-    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
-    desc = desc / jnp.maximum(norm, 1e-7)
-    desc = jnp.minimum(desc, DESC_CLIP)
-    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
-    desc = desc / jnp.maximum(norm, 1e-7)
-    return jnp.where(kp.valid[:, None], desc, 0.0)
+    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
+    hist = _descriptors_from_patches(
+        patches, py, px, sig_o, kp.orientation, kp
+    )
+    return _normalize_desc(hist, kp.valid)

@@ -20,8 +20,7 @@ from sift_parallel_optimization_tpu.core.pyramid_ref import (
     sift_gaussian_pyramid,
 )
 from sift_parallel_optimization_tpu.models.descriptor import (
-    assign_orientations,
-    compute_descriptors,
+    orient_and_describe,
 )
 from sift_parallel_optimization_tpu.models.detect import detect_pyramid
 from sift_parallel_optimization_tpu.models.keypoints import Keypoints
@@ -46,6 +45,5 @@ def extract_features(
     gauss = sift_gaussian_pyramid(img, cfg)
     dogs = [g[1:] - g[:-1] for g in gauss]
     kp = detect_pyramid(dogs, cfg, max_keypoints=max_keypoints, **thresholds)
-    kp = assign_orientations(gauss, kp)
-    desc = compute_descriptors(gauss, kp)
+    kp, desc = orient_and_describe(gauss, kp)
     return Features(keypoints=kp, descriptors=desc)

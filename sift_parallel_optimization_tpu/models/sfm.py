@@ -98,15 +98,29 @@ def empty_map(n_cams: int, pts_per_frame: int) -> SfmMap:
 
 
 def _write_obs_block(
-    obs: Observations, start: int, cam: jax.Array, pt_idx, uv, valid
+    obs: Observations, start, cam, pt_idx, uv, valid
 ) -> Observations:
+    """Write a contiguous observation block at (possibly traced) ``start``.
+
+    `dynamic_update_slice` keeps the op traceable with a runtime offset, so
+    ONE compiled executable serves every frame index (the incremental loop
+    does not recompile per frame).
+    """
+    from jax import lax
+
     n = pt_idx.shape[0]
-    sl = slice(start, start + n)
+    start = jnp.asarray(start, jnp.int32)
+
+    def upd(arr, vals):
+        return lax.dynamic_update_slice_in_dim(
+            arr, vals.astype(arr.dtype), start, axis=0
+        )
+
     return Observations(
-        cam_idx=obs.cam_idx.at[sl].set(jnp.full(n, cam, jnp.int32)),
-        pt_idx=obs.pt_idx.at[sl].set(pt_idx.astype(jnp.int32)),
-        uv=obs.uv.at[sl].set(uv),
-        valid=obs.valid.at[sl].set(valid),
+        cam_idx=upd(obs.cam_idx, jnp.full(n, cam, jnp.int32)),
+        pt_idx=upd(obs.pt_idx, pt_idx.astype(jnp.int32)),
+        uv=upd(obs.uv, uv),
+        valid=upd(obs.valid, valid),
     )
 
 
@@ -325,24 +339,42 @@ def run_sfm(
     Python orchestration over jitted steps (each step has static shapes;
     `jit` caches one executable per frame index pattern).
     """
+    import functools
+
     n = len(features)
     m = empty_map(n, pts_per_frame)
     keys = jax.random.split(key, n)
-    m = init_two_view(
-        keys[0], features[0], features[1], K, m, pts_per_frame
+
+    # One executable per step kind: frame index and block offsets are
+    # traced, so every frame reuses the same compiled register step.
+    init_fn = jax.jit(
+        functools.partial(init_two_view, pts_per_frame=pts_per_frame)
     )
+    reg_fn = jax.jit(
+        functools.partial(register_frame, pts_per_frame=pts_per_frame)
+    )
+    ba_mid = jax.jit(
+        functools.partial(
+            bundle_adjust,
+            n_iters=5, damping=damping, huber_delta=huber_delta,
+        )
+    )
+    ba_final = jax.jit(
+        functools.partial(
+            bundle_adjust,
+            n_iters=final_ba_iters, damping=damping,
+            huber_delta=huber_delta,
+        )
+    )
+
+    m = init_fn(keys[0], features[0], features[1], K, m)
     for i in range(2, n):
-        m = register_frame(
-            keys[i], m, features[i], features[i - 1], i, K, pts_per_frame
+        m = reg_fn(
+            keys[i], m, features[i], features[i - 1],
+            jnp.asarray(i, jnp.int32), K,
         )
         if ba_every and (i % ba_every == 0 or i == n - 1):
-            st = bundle_adjust(
-                m.ba_state(), m.obs, K,
-                n_iters=5, damping=damping, huber_delta=huber_delta,
-            )
+            st = ba_mid(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
-    st = bundle_adjust(
-        m.ba_state(), m.obs, K,
-        n_iters=final_ba_iters, damping=damping, huber_delta=huber_delta,
-    )
+    st = ba_final(m.ba_state(), m.obs, K)
     return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)

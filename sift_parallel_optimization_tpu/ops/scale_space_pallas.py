@@ -14,6 +14,16 @@ VMEM ONCE and all S+2 DoG planes plus the top windowed scale are produced in
 one pass. HBM traffic = read N^2 + write (S+3)*N^2, which is output-bound —
 the speed-of-light for this op.
 
+STATUS vs the jnp path: honest device-chained benchmarks (BASELINE.md)
+show XLA fuses core/pyramid_ref.reference_dog_octave into an equivalent
+single pass, and at sub-512 sizes feeding this kernel from a reshaped
+producer forces a layout conversion that XLA's own fusion avoids — so the
+fused-jnp pipeline (with batched tail octaves) is the DEFAULT production
+path and this kernel is kept as a validated alternative backend
+(equivalence-tested in tests/test_scale_space_pallas.py; it matches the
+jnp path at 512 and wins nothing overall). The Pallas win on this pipeline
+is the descriptor patch DMA gather (ops/patch_gather.py), not the stencil.
+
 Math (see core/pyramid_ref.py): every scale starts as the same base tile and
 the "filter" is a separable window, so
     DoG_s = base * (f_s (x) f_s - f_{s+1} (x) f_{s+1})

@@ -191,7 +191,11 @@ def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.A
             )
         octave = jnp.stack(scales)
         octaves.append(octave)
-        x = octave[cfg.S][::2, ::2]
+        from sift_parallel_optimization_tpu.core.pyramid_ref import (
+            strided_subsample,
+        )
+
+        x = strided_subsample(octave[cfg.S], 2)
         if sharded and not can_shard(x.shape[0]):
             sharded = False  # resharding point: tail octaves run unsharded
     return octaves

@@ -1,0 +1,254 @@
+"""ctypes bindings to the native host runtime (native/sift_host.cpp).
+
+Auto-builds ``libsift_host.so`` with the checked-in Makefile on first use
+(g++ is part of the toolchain; pybind11 is not available, hence ctypes).
+Everything degrades gracefully: ``available()`` is False if the build
+fails and pure-NumPy fallbacks are provided for the functional pieces.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libsift_host.so"
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if not _LIB_PATH.exists() or (
+                _LIB_PATH.stat().st_mtime
+                < (_NATIVE_DIR / "sift_host.cpp").stat().st_mtime
+            ):
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True, capture_output=True, text=True,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except (OSError, subprocess.CalledProcessError) as e:
+            _build_error = str(e)
+            return None
+
+        lib.sift_read_pgm.restype = ctypes.c_int
+        lib.sift_read_pgm.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_long,
+        ]
+        lib.sift_write_pgm.restype = ctypes.c_int
+        lib.sift_write_pgm.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sift_synth_frame.restype = None
+        lib.sift_synth_frame.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64,
+        ]
+        lib.sift_render_frame.restype = None
+        lib.sift_render_frame.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float, ctypes.c_uint64,
+        ]
+        lib.sift_loader_create.restype = ctypes.c_void_p
+        lib.sift_loader_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.sift_loader_acquire.restype = ctypes.POINTER(ctypes.c_float)
+        lib.sift_loader_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sift_loader_release.restype = None
+        lib.sift_loader_release.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.sift_loader_destroy.restype = None
+        lib.sift_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.sift_now_ms.restype = ctypes.c_double
+        lib.sift_now_ms.argtypes = []
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+# ---------------------------------------------------------------------------
+# PGM I/O
+# ---------------------------------------------------------------------------
+
+
+def read_pgm(path: str | os.PathLike, max_side: int = 8192) -> np.ndarray:
+    """Read a P5/P2 PGM into a (H, W) float32 array in [0, 1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    buf = np.empty(max_side * max_side, np.float32)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.sift_read_pgm(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(w), ctypes.byref(h),
+        ctypes.c_long(max_side * max_side),
+    )
+    if rc != 0:
+        raise IOError(f"sift_read_pgm({path}) failed with code {rc}")
+    return buf[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+def write_pgm(path: str | os.PathLike, img: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    img = np.ascontiguousarray(img, np.float32)
+    rc = lib.sift_write_pgm(
+        str(path).encode(),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[1], img.shape[0],
+    )
+    if rc != 0:
+        raise IOError(f"sift_write_pgm({path}) failed with code {rc}")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic frames
+# ---------------------------------------------------------------------------
+
+
+def synth_frame(size: int, frame_idx: int, seed: int = 0) -> np.ndarray:
+    """Deterministic synthetic frame (blob field + noise), native path."""
+    lib = _load()
+    if lib is None:
+        return _synth_frame_numpy(size, frame_idx, seed)
+    out = np.empty(size * size, np.float32)
+    lib.sift_synth_frame(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, frame_idx, ctypes.c_uint64(seed),
+    )
+    return out.reshape(size, size)
+
+
+def render_frame(
+    size: int,
+    rvec: np.ndarray,
+    tvec: np.ndarray,
+    focal: float,
+    seed: int = 0,
+) -> np.ndarray:
+    """Pinhole view of a deterministic 3-D blob cloud (real parallax)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    out = np.empty(size * size, np.float32)
+    rv = np.ascontiguousarray(rvec, np.float32)
+    tv = np.ascontiguousarray(tvec, np.float32)
+    lib.sift_render_frame(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size,
+        rv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(focal), ctypes.c_uint64(seed),
+    )
+    return out.reshape(size, size)
+
+
+def _synth_frame_numpy(size: int, frame_idx: int, seed: int) -> np.ndarray:
+    """Pure-NumPy fallback (NOT bit-identical to the native generator)."""
+    rng = np.random.default_rng(seed * 1000003 + 12345)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.full((size, size), 0.5, np.float32)
+    n_blobs = max(8, size * size // 820)
+    drift = 0.9 * frame_idx
+    for _ in range(n_blobs):
+        cy = rng.uniform(0, size)
+        cx = (rng.uniform(0, size) - drift) % size
+        sig = rng.uniform(2.0, 8.0)
+        amp = rng.uniform(-0.4, 0.4)
+        img += amp * np.exp(-((y - cy) ** 2 + (x - cx) ** 2) / (2 * sig**2))
+    fr = np.random.default_rng(seed * 1000003 + frame_idx)
+    img += 0.06 * (fr.random((size, size), np.float32) - 0.5)
+    return np.clip(img, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Prefetching loader
+# ---------------------------------------------------------------------------
+
+
+class FrameLoader:
+    """Multithreaded prefetching frame source (native ring of buffers).
+
+    Iterating yields (frame_idx, (size, size) float32 array). The native
+    workers stay ahead of the consumer, so host frame generation overlaps
+    device compute — the host-side analogue of double-buffered DMA.
+    """
+
+    def __init__(
+        self, size: int, n_buffers: int = 4, n_threads: int = 2,
+        seed: int = 0,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native lib unavailable: {_build_error}")
+        self._lib = lib
+        self._size = size
+        self._handle = lib.sift_loader_create(
+            size, n_buffers, n_threads, ctypes.c_uint64(seed)
+        )
+        if not self._handle:
+            raise RuntimeError("sift_loader_create failed")
+
+    def next_frame(self) -> tuple[int, np.ndarray]:
+        idx = ctypes.c_int()
+        ptr = self._lib.sift_loader_acquire(self._handle, ctypes.byref(idx))
+        arr = np.ctypeslib.as_array(ptr, shape=(self._size, self._size))
+        out = arr.copy()  # detach before releasing the ring slot
+        self._lib.sift_loader_release(self._handle, ptr)
+        return idx.value, out
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.sift_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def now_ms() -> float:
+    lib = _load()
+    if lib is None:
+        import time
+
+        return time.perf_counter() * 1e3
+    return float(lib.sift_now_ms())

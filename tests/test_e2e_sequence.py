@@ -1,0 +1,62 @@
+"""End-to-end sequence test: rendered frames -> frontend -> SfM -> ATE.
+
+The full-pipeline accuracy gate (BASELINE.json configs 2-4 composed): the
+native 3-D renderer produces a trajectory with real parallax; the pipeline
+must recover it within an ATE bound after Sim(3) alignment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_parallel_optimization_tpu.models.ba import rms_error
+from sift_parallel_optimization_tpu.models.frontend import (
+    extract_features,
+    sift_config,
+)
+from sift_parallel_optimization_tpu.models.sfm import run_sfm
+from sift_parallel_optimization_tpu.utils import native
+from sift_parallel_optimization_tpu.utils.trajectory import (
+    ate_rmse,
+    camera_centers,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native renderer unavailable"
+)
+
+
+@pytest.mark.slow
+def test_rendered_sequence_ate():
+    size, n_frames = 256, 6
+    focal = float(size)
+    cfg = sift_config(size)
+    K = jnp.array(
+        [[focal, 0.0, size / 2], [0.0, focal, size / 2], [0.0, 0.0, 1.0]]
+    )
+    gt_rvecs = np.stack(
+        [[0.0, 0.03 * i, 0.0] for i in range(n_frames)]
+    ).astype(np.float32)
+    gt_tvecs = np.stack(
+        [[-0.35 * i, 0.0, 0.04 * i] for i in range(n_frames)]
+    ).astype(np.float32)
+
+    fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+    feats = [
+        fe(jnp.asarray(native.render_frame(size, gt_rvecs[i], gt_tvecs[i],
+                                           focal, seed=0)))
+        for i in range(n_frames)
+    ]
+    m = run_sfm(jax.random.key(0), feats, K)
+
+    assert int(m.cam_valid.sum()) == n_frames
+    assert int(m.pt_valid.sum()) >= 50
+    assert float(rms_error(m.ba_state(), m.obs, K)) < 1.0
+
+    est = camera_centers(m.rvecs, m.tvecs)
+    gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+    ate = float(ate_rmse(est, gt))
+    span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+    # Demand ATE under 5% of the trajectory span.
+    assert ate < 0.05 * span, f"ATE {ate} over span {span}"
