@@ -333,17 +333,33 @@ def run_sfm(
     final_ba_iters: int = 15,
     damping: float = 1e-4,
     huber_delta: float | None = 2.0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> SfmMap:
     """Full incremental pipeline over a list of per-frame features.
 
     Python orchestration over jitted steps (each step has static shapes;
     `jit` caches one executable per frame index pattern).
+
+    With ``checkpoint_dir`` set, the map is saved every
+    ``checkpoint_every`` frames and the run RESUMES from the latest
+    checkpoint if one exists — restartable steps for long sequences
+    (the failure-recovery subsystem, utils/checkpoint.py).
     """
     import functools
 
     n = len(features)
     m = empty_map(n, pts_per_frame)
     keys = jax.random.split(key, n)
+
+    start_frame = 2
+    if checkpoint_dir is not None:
+        from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
+
+        step = ckpt.latest_step(checkpoint_dir)
+        if step is not None:
+            m, step = ckpt.load_pytree(checkpoint_dir, m)
+            start_frame = step + 1
 
     # One executable per step kind: frame index and block offsets are
     # traced, so every frame reuses the same compiled register step.
@@ -367,8 +383,9 @@ def run_sfm(
         )
     )
 
-    m = init_fn(keys[0], features[0], features[1], K, m)
-    for i in range(2, n):
+    if start_frame == 2:
+        m = init_fn(keys[0], features[0], features[1], K, m)
+    for i in range(start_frame, n):
         m = reg_fn(
             keys[i], m, features[i], features[i - 1],
             jnp.asarray(i, jnp.int32), K,
@@ -376,5 +393,11 @@ def run_sfm(
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_mid(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
+        if checkpoint_dir is not None and checkpoint_every and (
+            (i - 1) % checkpoint_every == 0 or i == n - 1
+        ):
+            from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_pytree(checkpoint_dir, m, step=i)
     st = ba_final(m.ba_state(), m.obs, K)
     return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
