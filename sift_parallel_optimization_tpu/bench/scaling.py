@@ -1,0 +1,97 @@
+"""Mesh-size scaling sweep — the reference's Timing_ThreadCount, generalized.
+
+The reference swept pthread THREAD_COUNT = 1..7 and printed seconds-per-
+pass CSV (GaussDePyramid-pThread.h:310-326). Here the knob is the mesh:
+the same sharded program is timed at mesh sizes 1..N and scaling
+efficiency t1 / (n * tn) is reported. Each mesh size runs in a fresh
+subprocess because the virtual device count
+(``--xla_force_host_platform_device_count``) is fixed at backend init.
+
+On real multi-chip hardware the same sweep applies unchanged (the mesh
+would span chips instead of virtual CPU devices); this module is also the
+CI-side scaling gate that runs without a pod slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+from sift_parallel_optimization_tpu.utils.profiling import MetricsWriter
+
+_CHILD = textwrap.dedent(
+    """
+    import os, sys, json, time
+    n = int(sys.argv[1]); size = int(sys.argv[2]); batch = int(sys.argv[3])
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp, numpy as np
+    from sift_parallel_optimization_tpu.models.frontend import sift_config
+    from sift_parallel_optimization_tpu.parallel.frontend import (
+        batched_extract_features,
+    )
+    from sift_parallel_optimization_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=n, n_spatial=1)
+    cfg = sift_config(size, max_octaves=4)
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((batch, size, size), np.float32)
+    )
+    fn = jax.jit(
+        lambda x: batched_extract_features(x, cfg, 128, mesh).descriptors.sum()
+    )
+    float(fn(frames))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(frames))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"n": n, "total_ms": best * 1e3}))
+    """
+)
+
+
+def bench_scaling(
+    writer: MetricsWriter,
+    size: int = 256,
+    batch: int = 8,
+    device_counts=(1, 2, 4, 8),
+    **kw,
+) -> None:
+    """DP frontend throughput vs virtual mesh size (batch fixed)."""
+    results = {}
+    for n in device_counts:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(n), str(size), str(batch)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            writer.write(
+                f"scaling_frontend_{size}_n{n}", -1.0, "ms",
+                error=out.stderr[-300:],
+            )
+            continue
+        results[n] = rec["total_ms"]
+        eff = (
+            results[min(results)] / (n / min(results.keys()) * rec["total_ms"])
+            if results else 1.0
+        )
+        writer.write(
+            f"scaling_frontend_{size}_n{n}",
+            round(rec["total_ms"] / batch, 3), "ms/frame",
+            mesh_devices=n, batch=batch,
+            efficiency_vs_smallest=round(eff, 3),
+        )

@@ -178,3 +178,11 @@ def run_suite(
         bench_matching(writer, **kw)
     if "ba" in workloads:
         bench_ba(writer, **kw)
+    if "scaling" in workloads:
+        # Virtual-CPU-mesh sweep (Timing_ThreadCount analogue). NOTE: XLA's
+        # CPU backend multithreads within ONE device, so virtual-device DP
+        # shows poor efficiency on CPU — the sweep is the harness that runs
+        # unchanged on a real multi-chip mesh.
+        from sift_parallel_optimization_tpu.bench.scaling import bench_scaling
+
+        bench_scaling(writer, **kw)

@@ -278,8 +278,11 @@ def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
     tmp = jnp.einsum(
         "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
     )
+    # Row pass is B^T @ tmp (contract over B's ROW index): B is only
+    # symmetric in the interior — edge clamping breaks symmetry, so using
+    # B here instead of B^T corrupts the outermost rows.
     return jnp.einsum(
-        "suh,shv->suv", bank, tmp, preferred_element_type=jnp.float32
+        "shu,shv->suv", bank, tmp, preferred_element_type=jnp.float32
     )
 
 

@@ -27,6 +27,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bootstrap: `jax.distributed.initialize` with defaults.
+
+    Replaces the reference's `MPI_Init` — which it called INSIDE the
+    compute routine, making re-runs silently broken
+    (GaussDePyramid-MPI.h:268, re-invoked by main.cpp:66-73; SURVEY.md
+    section 2 flags the latent re-init bug). Call once at process start;
+    afterwards `jax.devices()` spans every host and `make_mesh` lays the
+    global mesh over ICI (intra-slice) + DCN (inter-slice). Safe to call
+    on a single host (no-op without cluster env).
+    """
+    import jax
+
+    if num_processes is None and coordinator_address is None:
+        # Cluster auto-detection (TPU pod env vars) or single-process.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run: nothing to initialize
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_data: int | None = None,
     n_spatial: int | None = None,

@@ -110,6 +110,63 @@ def sharded_reference_dog_pyramid(
 
 
 # ---------------------------------------------------------------------------
+# REFERENCE mode, scale-parallel decomposition (the reference's
+# rank-per-scale MPI layout and pthread scale-split, GaussDePyramid-MPI.h:
+# 271-318, GaussDePyramid-pThread.h:256-308). Each device owns a block of
+# scale planes; the DoG dependency on scale s+1 — the reference's one real
+# cross-worker synchronization (its pthread barrier / its MPI collector) —
+# becomes a single neighbor ppermute of one plane. No collector rank: the
+# device that owns the data computes its DoG.
+# ---------------------------------------------------------------------------
+
+
+def _local_scale_dog(
+    base: jax.Array, f_local: jax.Array, n_scales: int, axis: str
+) -> jax.Array:
+    """Inside shard_map: base (N, N) replicated; f_local (k, N) this
+    device's window rows. Returns (k, N, N) output planes."""
+    n = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    k = f_local.shape[0]
+    windows = f_local[:, :, None] * f_local[:, None, :]   # (k, N, N)
+    g = base[None] * windows                              # my Gaussian planes
+    # Fetch the NEXT device's first plane (scale i*k + k).
+    perm = [(j, (j - 1) % n) for j in range(n)]
+    nxt = lax.ppermute(g[:1], axis, perm)                 # (1, N, N)
+    g_ext = jnp.concatenate([g, nxt], axis=0)             # (k+1, N, N)
+    dog = g_ext[:-1] - g_ext[1:]                          # (k, N, N)
+    # Global plane S+2 keeps the windowed image (in-place semantics,
+    # GuassDePyramid.h:136-149); padded planes beyond it are dropped later.
+    gidx = i * k + jnp.arange(k)
+    keep_g = (gidx == n_scales - 1)[:, None, None]
+    return jnp.where(keep_g, g, dog)
+
+
+def scale_sharded_reference_dog_octave(
+    mesh: Mesh, S: int, size: int, axis: str = "spatial"
+):
+    """Returns fn(base) -> (S+3, size, size): scale planes sharded on
+    ``axis`` (padded to a multiple of the axis size internally)."""
+    n_scales = S + 3
+    n_dev = mesh.shape[axis]
+    padded = -(-n_scales // n_dev) * n_dev
+
+    fn = shard_map(
+        functools.partial(_local_scale_dog, n_scales=n_scales, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(axis, None, None),
+    )
+
+    def run(base: jax.Array) -> jax.Array:
+        f = reference_filter_bank(size, n_scales, dtype=base.dtype)
+        f = jnp.pad(f, ((0, padded - n_scales), (0, 0)))
+        return fn(base, f)[:n_scales]
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # SIFT mode: true separable convolution with halo exchange.
 # ---------------------------------------------------------------------------
 
