@@ -59,14 +59,30 @@ def rodrigues(w: jax.Array) -> jax.Array:
 
 
 def rotation_log(R: jax.Array) -> jax.Array:
-    """(3, 3) rotation -> (3,) axis-angle (log map)."""
+    """(3, 3) rotation -> (3,) axis-angle (log map), robust at theta ~ pi.
+
+    The standard v * theta / (2 sin theta) formula degenerates as
+    theta -> pi (the antisymmetric part vanishes); there the axis is
+    recovered from the dominant column of R + I instead.
+    """
     cos_t = jnp.clip((jnp.trace(R) - 1) / 2, -1.0, 1.0)
     theta = jnp.arccos(cos_t)
     v = jnp.stack(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
     )
-    s = jnp.where(theta > 1e-6, theta / (2 * jnp.sin(theta)), 0.5)
-    return v * s
+    sin_t = jnp.sin(theta)
+    s = jnp.where(sin_t > 1e-6, theta / jnp.maximum(2 * sin_t, 1e-12), 0.5)
+    w_general = v * s
+    # Near pi: R + I = 2 * axis axis^T (+ O(pi - theta)); any nonzero
+    # column of it is parallel to the axis. Sign is immaterial at pi and
+    # disambiguated by v where it is still informative.
+    B = R + jnp.eye(3)
+    k = jnp.argmax(jnp.diagonal(B))
+    col = B[:, k]
+    axis = col / jnp.maximum(jnp.linalg.norm(col), 1e-12)
+    sign = jnp.where(jnp.dot(axis, v) < 0, -1.0, 1.0)
+    w_pi = axis * theta * sign
+    return jnp.where(theta > jnp.pi - 1e-3, w_pi, w_general)
 
 
 # ---------------------------------------------------------------------------
