@@ -167,8 +167,106 @@ def scale_sharded_reference_dog_octave(
 
 
 # ---------------------------------------------------------------------------
-# SIFT mode: true separable convolution with halo exchange.
+# REFERENCE mode, octave-parallel decomposition (the reference's pthread
+# round-robin over octaves: thread t owns octaves t, t+T, ... —
+# GaussDePyramid-pThread.h:211-254 and all x-pthread hybrids). Octaves are
+# fully independent in REFERENCE mode (each is a strided subsample of the
+# ORIGINAL image), so device d computes its own octaves end-to-end with no
+# communication at all — the ideal-scaling case. SPMD needs one static
+# program, so per-device octave sizes are handled by masked repeated
+# halving into a padded (N, N) buffer and masked filter banks.
 # ---------------------------------------------------------------------------
+
+
+def _padded_halve(x: jax.Array) -> jax.Array:
+    """(N, N) -> (N, N): stride-2 subsample into the top-left, zero pad."""
+    n = x.shape[0]
+    y = lax.reduce_window(x, 0.0, lax.add, (1, 1), (2, 2), "VALID")
+    return jnp.pad(y, ((0, n - n // 2), (0, n - n // 2)))
+
+
+def _masked_filter_bank(n: int, n_scales: int, length: jax.Array) -> jax.Array:
+    """(n_scales, n) reference window bank for a TRACED octave side length.
+
+    Matches reference_filter_bank(length, n_scales) on the first ``length``
+    columns, zero beyond (GuassDePyramid.h:117-120 with traced len).
+    """
+    from sift_parallel_optimization_tpu.config import REF_PI, REF_SIGMA
+
+    i = jnp.arange(n, dtype=jnp.float32)
+    s = jnp.arange(n_scales, dtype=jnp.float32)
+    sig = REF_SIGMA / (s + 1.0)
+    c = (length.astype(jnp.float32) - 1.0) / 2.0
+    x = i[None, :] - c
+    f = jnp.exp(-(x**2) / (2.0 * sig[:, None] ** 2)) / (
+        sig[:, None] * jnp.sqrt(2.0 * REF_PI)
+    )
+    return jnp.where(i[None, :] < length, f, 0.0)
+
+
+def _local_octaves_dog(
+    img: jax.Array, k: int, n_scales: int, n_octaves: int, axis: str
+) -> jax.Array:
+    """Inside shard_map: replicated (N, N) image -> (k, n_scales, N, N),
+    device d owning octaves d*k .. d*k+k-1 (padded into N x N buffers)."""
+    d = lax.axis_index(axis)
+    n = img.shape[0]
+    # The halving loop's carry varies per device (trip count depends on
+    # axis_index); mark the replicated input as varying up front.
+    img = lax.pcast(img, (axis,), to="varying")
+    outs = []
+    for local in range(k):
+        oct_idx = d * k + local
+        # Repeated masked halving: octave o base = o halvings of the image.
+        def body(i, x):
+            return jnp.where(i < oct_idx, _padded_halve(x), x)
+
+        base = lax.fori_loop(0, n_octaves, body, img)
+        length = (n // jnp.left_shift(1, jnp.minimum(oct_idx, 30))).astype(
+            jnp.int32
+        )
+        f = _masked_filter_bank(n, n_scales, length)
+        windows = f[:, :, None] * f[:, None, :]
+        w_dog = windows[:-1] - windows[1:]
+        w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)
+        out = base[None] * w_all
+        # Zero the padded region and any octave index beyond the pyramid.
+        valid = oct_idx < n_octaves
+        outs.append(jnp.where(valid, out, 0.0))
+    return jnp.stack(outs)
+
+
+def octave_sharded_reference_dog_pyramid(
+    img: jax.Array, S: int, mesh: Mesh, axis: str = "spatial",
+    n_octaves: int | None = None,
+) -> list[jax.Array]:
+    """Octave-sharded REFERENCE pyramid: device d owns octave block d.
+
+    Returns the usual list of (S+3, size_o, size_o) arrays (cropped from
+    the padded per-device buffers). Zero inter-device communication.
+    """
+    from sift_parallel_optimization_tpu.config import num_octaves
+
+    img = img.astype(jnp.float32)
+    n = img.shape[0]
+    total = num_octaves(n)
+    n_octaves = total if n_octaves is None else min(n_octaves, total)
+    n_dev = mesh.shape[axis]
+    k = -(-n_octaves // n_dev)  # octaves per device (ceil)
+
+    fn = shard_map(
+        functools.partial(
+            _local_octaves_dog,
+            k=k, n_scales=S + 3, n_octaves=n_octaves, axis=axis,
+        ),
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(axis),
+    )
+    padded = fn(img)  # (n_dev * k, n_scales, N, N)
+    return [
+        padded[o, :, : n // 2**o, : n // 2**o] for o in range(n_octaves)
+    ]
 
 
 def _blur_local_rows(local: jax.Array, taps: jax.Array) -> jax.Array:

@@ -93,3 +93,23 @@ def test_sift_sharded_pyramid_matches(mesh, rng):
             np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
             err_msg=f"octave {o}",
         )
+
+
+def test_octave_sharded_pyramid_matches(mesh, rng):
+    # Device d owns octave d (8 octaves of a 128-image over 8 devices) —
+    # the reference's pthread round-robin octave split, zero communication.
+    from sift_parallel_optimization_tpu.parallel.scale_space import (
+        octave_sharded_reference_dog_pyramid,
+    )
+
+    img = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+    want = reference_dog_pyramid(img, 2)
+    got = jax.jit(
+        lambda x: octave_sharded_reference_dog_pyramid(x, 2, mesh)
+    )(img)
+    assert len(got) == len(want)
+    for o, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5,
+            err_msg=f"octave {o}",
+        )
