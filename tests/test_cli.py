@@ -1,0 +1,44 @@
+"""CLI smoke tests (run on the CPU mesh via conftest)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sift_parallel_optimization_tpu.cli import main
+from sift_parallel_optimization_tpu.utils import native
+
+
+def test_features_synthetic(capsys):
+    assert main(["features", "--size", "64", "--max-keypoints", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "keypoints (capacity 64)" in out
+
+
+def test_pyramid_dump(tmp_path, capsys):
+    rc = main([
+        "pyramid", "--size", "64", "--S", "2",
+        "--dump-dir", str(tmp_path / "oct"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "octave 0" in out
+    assert (tmp_path / "oct" / "octave0.pgm").exists()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_features_from_pgm(tmp_path, capsys, rng):
+    img = rng.random((64, 64)).astype(np.float32)
+    p = tmp_path / "in.pgm"
+    native.write_pgm(p, img)
+    assert main(["features", "--image", str(p), "--max-keypoints", "32"]) == 0
+
+
+def test_bench_matching_writes_jsonl(tmp_path):
+    out = tmp_path / "m.jsonl"
+    rc = main([
+        "bench", "--workloads", "matching", "--out", str(out),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert any(r["metric"].startswith("match_ms") for r in lines)
