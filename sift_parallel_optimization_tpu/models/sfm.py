@@ -272,6 +272,16 @@ def register_frame(
     obs = _write_obs_block(
         m.obs, 3 * frame_i * B, frame_i, m3.idx2[keep], uv[keep], keep_ok
     )
+    # Refresh matched landmarks' descriptors with the CURRENT view:
+    # descriptors frozen at first observation stop matching once the
+    # viewpoint drifts; last-inlier-view descriptors track appearance.
+    refresh_idx = jnp.where(keep_ok, m3.idx2[keep], m.pt_desc.shape[0])
+    new_desc = feats.descriptors[keep]
+    m = m._replace(
+        pt_desc=m.pt_desc.at[refresh_idx].set(
+            new_desc, mode="drop"
+        )
+    )
 
     # --- 2D-2D vs previous frame: triangulate new landmarks.
     m2 = match_descriptors(
