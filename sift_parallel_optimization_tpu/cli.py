@@ -165,6 +165,54 @@ def _cmd_sfm(args) -> int:
     return 0
 
 
+def _cmd_stream(args) -> int:
+    """Continuous serving loop: native prefetch loader -> TPU frontend.
+
+    The host-side C++ ring loader (native/sift_host.cpp) generates frames
+    on worker threads while the device processes the previous one —
+    end-to-end pipeline throughput, not kernel time.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    cfg = sift_config(args.size)
+    fe = jax.jit(lambda x: extract_features(x, cfg, args.max_keypoints))
+    with native.FrameLoader(
+        args.size, n_buffers=4, n_threads=2, seed=args.seed
+    ) as ld:
+        # Warm up (compile).
+        _, frame = ld.next_frame()
+        feats = fe(jnp.asarray(frame))
+        int(feats.keypoints.count())
+
+        # Pipelined serving: dispatch is async, results are fetched at the
+        # end, so host frame generation, H2D, device compute, and the
+        # relay round trip all overlap.
+        counts = []
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            _, frame = ld.next_frame()
+            feats = fe(jnp.asarray(frame))
+            counts.append(feats.keypoints.count())
+        n_kp = sum(int(c) for c in counts)  # drains the pipeline
+        dt = time.perf_counter() - t0
+    fps = args.frames / dt
+    print(
+        f"{args.frames} frames in {dt:.2f}s -> {fps:.1f} fps "
+        f"({1e3 / fps:.2f} ms/frame end-to-end pipelined); "
+        f"{n_kp / args.frames:.0f} keypoints/frame"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sift_parallel_optimization_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +242,13 @@ def main(argv=None) -> int:
     s.add_argument("--size", type=int, default=256)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=_cmd_sfm)
+
+    st = sub.add_parser("stream", help="continuous frontend serving loop")
+    st.add_argument("--frames", type=int, default=200)
+    st.add_argument("--size", type=int, default=512)
+    st.add_argument("--max-keypoints", type=int, default=512)
+    st.add_argument("--seed", type=int, default=0)
+    st.set_defaults(fn=_cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)
