@@ -265,16 +265,24 @@ def blur_matrix(size: int, sigma: float) -> jnp.ndarray:
 
 
 def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
-    """(N, N) base -> (len(sigmas), N, N): all blurs in two batched matmuls.
+    """(H, W) base -> (len(sigmas), H, W): all blurs in two batched matmuls.
 
-    out_s = B_s^T @ base @ B_s with B_s = blur_matrix(N, sigma_s). This is
-    the TPU-native form of the reference's entire per-scale filter loop
-    (GuassDePyramid.h:106-134 and every SIMD/thread variant of it): the MXU
-    does all scales of an octave concurrently instead of 2*(S+3) separate
-    elementwise passes.
+    out_s = B^H_s^T @ base @ B^W_s with B^D_s = blur_matrix(D, sigma_s).
+    This is the TPU-native form of the reference's entire per-scale filter
+    loop (GuassDePyramid.h:106-134 and every SIMD/thread variant of it):
+    the MXU does all scales of an octave concurrently instead of 2*(S+3)
+    separate elementwise passes.
     """
-    n = base.shape[-1]
-    bank = jnp.stack([blur_matrix(n, s) for s in sigmas])  # (S, N, N)
+    h, w = base.shape[-2], base.shape[-1]
+    bank = jnp.stack([blur_matrix(w, s) for s in sigmas])  # (S, W, W)
+    if h != w:
+        bank_h = jnp.stack([blur_matrix(h, s) for s in sigmas])
+        tmp = jnp.einsum(
+            "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
+        )
+        return jnp.einsum(
+            "shu,shv->suv", bank_h, tmp, preferred_element_type=jnp.float32
+        )
     tmp = jnp.einsum(
         "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
     )

@@ -147,3 +147,26 @@ class TestDescriptors:
         # Clip-at-0.2 then renormalize: components may exceed 0.2 by the
         # renorm factor but are bounded well below an unclipped peak.
         assert desc[valid].max() <= 0.5
+
+
+class TestRectangularImages:
+    def test_rect_frontend(self, rng):
+        """SIFT mode accepts H != W; octave count follows the short side."""
+        H, W = 96, 160
+        y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+        img = np.full((H, W), 0.5, np.float32)
+        for _ in range(15):
+            cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
+            s = rng.uniform(2, 5)
+            img += rng.uniform(-0.4, 0.4) * np.exp(
+                -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s)
+            )
+        img += 0.08 * (rng.random((H, W), np.float32) - 0.5)
+        cfg = sift_config(min(H, W))
+        f = extract_features(jnp.asarray(img), cfg, max_keypoints=64)
+        kp = jax.tree.map(np.asarray, f.keypoints)
+        assert kp.valid.sum() >= 4
+        assert kp.x[kp.valid].max() > W / 2  # keypoints beyond the square
+        assert (kp.x[kp.valid] < W).all() and (kp.y[kp.valid] < H).all()
+        d = np.asarray(f.descriptors)
+        assert np.allclose(np.linalg.norm(d[kp.valid], axis=1), 1, atol=1e-4)
