@@ -23,7 +23,6 @@ no dynamic shapes, no data-dependent control flow.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -35,7 +34,6 @@ from sift_parallel_optimization_tpu.config import (
     REF_SIGMA,
     PyramidConfig,
     num_octaves,
-    octave_sizes,
 )
 
 # ---------------------------------------------------------------------------

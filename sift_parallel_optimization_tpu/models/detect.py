@@ -17,7 +17,6 @@ pyramid of core/pyramid_ref.py and finds scale-space extrema the TPU way:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

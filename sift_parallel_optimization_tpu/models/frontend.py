@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from sift_parallel_optimization_tpu.config import PyramidConfig, ScaleSpaceMode
 from sift_parallel_optimization_tpu.core.pyramid_ref import (

@@ -27,13 +27,12 @@ order (tested in tests/test_parallel_ba.py).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sift_parallel_optimization_tpu.models.ba import (
     BAState,

@@ -12,7 +12,6 @@ never reach.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sift_parallel_optimization_tpu.config import PyramidConfig

@@ -19,7 +19,6 @@ parallel) is preserved; the mechanism is better.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

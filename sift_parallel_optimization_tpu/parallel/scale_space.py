@@ -25,13 +25,12 @@ collectives).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sift_parallel_optimization_tpu.core.pyramid_ref import (
     reference_filter_bank,

@@ -14,7 +14,7 @@ import contextlib
 import json
 import sys
 import time
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 import jax
 
