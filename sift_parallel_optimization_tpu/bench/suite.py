@@ -36,7 +36,7 @@ def _rand_img(size: int) -> jax.Array:
 
 def bench_pyramid(
     writer: MetricsWriter, sizes=(256, 512, 1024), S: int = 2,
-    variants=("jnp", "pallas"), **kw,
+    variants=None, **kw,
 ) -> None:
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
         reference_dog_pyramid,
@@ -45,6 +45,13 @@ def bench_pyramid(
         reference_dog_pyramid_pallas,
     )
 
+    if variants is None:
+        # The Pallas variant only compiles on TPU backends.
+        variants = (
+            ("jnp", "pallas")
+            if jax.default_backend() in ("tpu", "axon")
+            else ("jnp",)
+        )
     impls = {
         "pallas": reference_dog_pyramid_pallas,
         "jnp": reference_dog_pyramid,

@@ -21,10 +21,7 @@ def _cmd_bench(args) -> int:
     from sift_parallel_optimization_tpu.utils.profiling import MetricsWriter
 
     with MetricsWriter(args.out) as w:
-        run_suite(
-            w, workloads=args.workloads.split(","),
-            min_seconds=args.min_seconds,
-        )
+        run_suite(w, workloads=args.workloads.split(","))
     return 0
 
 
@@ -48,12 +45,14 @@ def _cmd_pyramid(args) -> int:
 
     img = _load_image(args)
     if args.mode == "reference":
-        from sift_parallel_optimization_tpu.ops.scale_space_pallas import (
-            reference_dog_pyramid_pallas,
+        # Production path: the fused-jnp pipeline (works on every backend
+        # and is the fastest variant — BASELINE.md).
+        from sift_parallel_optimization_tpu.core.pyramid_ref import (
+            reference_dog_pyramid,
         )
 
         out = jax.jit(
-            lambda x: reference_dog_pyramid_pallas(x, args.S)
+            lambda x: reference_dog_pyramid(x, args.S)
         )(img)
     else:
         from sift_parallel_optimization_tpu.config import (
@@ -220,7 +219,6 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="run the benchmark matrix")
     b.add_argument("--workloads", default="pyramid,frontend,matching,ba")
     b.add_argument("--out", default=None, help="JSONL path (default stdout)")
-    b.add_argument("--min-seconds", type=float, default=1.0)
     b.set_defaults(fn=_cmd_bench)
 
     for name, fn in (("pyramid", _cmd_pyramid), ("features", _cmd_features)):

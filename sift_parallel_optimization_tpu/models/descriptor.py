@@ -49,13 +49,17 @@ DESC_GRID = 26             # samples per axis (24x24 usable gradients)
 DESC_BIN_SIGMA = 3.0       # spatial bin width = 3 * sigma_o (Lowe 2004)
 DESC_CLIP = 0.2
 
-# Atlas geometry. Patch must cover the largest descriptor window radius
-# (sqrt(2) * 1.5 * sigma_o_max * (d+1) ~ 40 px for sigma_o <= 3.7) plus
-# alignment slack: rows align to 8, cols to 128.
-ROW_PAD = 48               # top pad per octave (multiple of 8, >= 41 + 8)
-COL_PAD = 128              # left pad per octave (one lane tile, >= 41)
-PATCH_ROWS = 96            # 41 + 8 slack + 41, rounded to sublanes
-PATCH_COLS = 256           # 41 + 128 slack + 41, rounded to lanes
+# Atlas geometry. Patch must cover the largest descriptor window radius:
+# sigma_o_max = sigma0 * 2^((S + MAX_REFINE_OFFSET)/S), which GROWS as S
+# shrinks — 3.7 px at S=3 but 4.85 px at S=1 — giving a max radius of
+# 3*sigma_o*sqrt(2)*2.5 ~ 51.5 px. The margins below guarantee coverage
+# for S >= 1 (and _keypoint_patches clamps the radius to MAX_RADIUS as a
+# final guard). Rows align to 8 sublanes, cols to 128 lanes.
+MAX_RADIUS = 52            # guaranteed in-patch sample radius (+1 bilinear)
+ROW_PAD = 56               # top pad per octave (mult of 8, >= MAX_RADIUS+4)
+COL_PAD = 128              # left pad per octave (one lane tile)
+PATCH_ROWS = 112           # >= 2*MAX_RADIUS + 8 alignment slack, mult of 8
+PATCH_COLS = 256           # >= 2*MAX_RADIUS + 128 alignment slack
 
 
 def _roundup(v: int, m: int) -> int:
@@ -116,12 +120,16 @@ def _keypoint_patches(gauss_octaves: list[jax.Array], kp: Keypoints):
     wl = meta["wlim"][o]
     ro = meta["row_off"][o]
     y0l = jnp.clip(
-        (jnp.floor((ya - 41.0) / 8.0) * 8).astype(jnp.int32),
+        (jnp.floor((ya - MAX_RADIUS) / 8.0) * 8).astype(jnp.int32),
         0,
         hp - PATCH_ROWS,
     )
     x0 = jnp.clip(
-        (jnp.floor((xa - 44.0) / 128.0) * 128).astype(jnp.int32), 0, wl
+        (jnp.floor((xa - (MAX_RADIUS + 1.0)) / 128.0) * 128).astype(
+            jnp.int32
+        ),
+        0,
+        wl,
     )
     grow = ro + kp.scale * hp + y0l
     patches = extract_atlas_patches(atlas, grow, x0, PATCH_ROWS, PATCH_COLS)
@@ -176,6 +184,7 @@ def _orientation_from_patches(patches, py, px, sig_o, kp: Keypoints):
     k = kp.capacity
     win_sigma = ORI_SIGMA_FACTOR * sig_o
     radius = ORI_RADIUS_FACTOR * win_sigma            # (K,)
+    radius = jnp.minimum(radius, MAX_RADIUS - 1.0)    # patch-coverage guard
     lin = jnp.linspace(-1.0, 1.0, g)
     offsets = lin[None, :] * radius[:, None]          # (K, G)
 
@@ -220,6 +229,7 @@ def _descriptors_from_patches(patches, py, px, sig_o, theta, kp: Keypoints):
     k = kp.capacity
     bin_w = DESC_BIN_SIGMA * sig_o                    # (K,) pixels per bin
     radius = bin_w * (2**0.5) * (d + 1) * 0.5
+    radius = jnp.minimum(radius, MAX_RADIUS - 1.0)    # patch-coverage guard
     lin = jnp.linspace(-1.0, 1.0, g)
     offsets = lin[None, :] * radius[:, None]          # (K, G)
 

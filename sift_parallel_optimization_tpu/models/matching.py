@@ -149,7 +149,10 @@ def ransac_homography(
 ) -> RansacResult:
     """Batched-hypothesis RANSAC homography p1 -> p2.
 
-    All hypotheses solved and scored concurrently; symmetric transfer error.
+    All hypotheses solved and scored concurrently; inliers by FORWARD
+    transfer error |H p1 - p2| (one-way — cheap and sufficient for the
+    verification/refinement loop; use a symmetric check downstream if the
+    application needs it).
     """
     idx = _sample_indices(key, mask, n_hypotheses, 4)
     h = jax.vmap(lambda i: _homography_from_4(p1[i], p2[i]))(idx)  # (N,3,3)

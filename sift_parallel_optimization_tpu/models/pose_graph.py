@@ -124,7 +124,7 @@ def solve_pgo(hdiag, cross, b, damping: float = 1e-3):
     h = cross + cross.transpose(1, 0, 3, 2)
     h = h.at[jnp.arange(N), jnp.arange(N)].add(hdiag)
     # Marquardt-scaled damping (see models/ba.py for the f32 rationale).
-    hd = jnp.zeros((N, 6, 6)).at[:].set(h[jnp.arange(N), jnp.arange(N)])
+    hd = h[jnp.arange(N), jnp.arange(N)]
     d = jnp.diagonal(hd, axis1=-2, axis2=-1)
     h = h.at[jnp.arange(N), jnp.arange(N)].add(
         (damping * d + 1e-6)[..., None] * jnp.eye(6)

@@ -404,7 +404,7 @@ def run_sfm(
             st = ba_mid(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
         if checkpoint_dir is not None and checkpoint_every and (
-            (i - 1) % checkpoint_every == 0 or i == n - 1
+            i % checkpoint_every == 0 or i == n - 1
         ):
             from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
 

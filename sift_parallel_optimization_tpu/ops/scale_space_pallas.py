@@ -73,11 +73,13 @@ def _pick_tile_rows(size: int) -> int:
     if size <= _DEFAULT_TILE_ROWS:
         return size
     # Largest power-of-two divisor tile <= default (sizes are powers of two
-    # in the reference drivers; general sizes fall back to full-height tiles).
+    # in the reference drivers). The tile MUST divide the size — the grid
+    # floors — and be sublane-aligned; otherwise fall back to one
+    # full-height tile (a block equal to the array dim is always legal).
     t = _DEFAULT_TILE_ROWS
-    while size % t:
+    while t > 1 and size % t:
         t //= 2
-    return max(t, 8)
+    return t if t >= 8 else size
 
 
 @functools.partial(jax.jit, static_argnames=("n_scales", "tile_rows"))

@@ -47,8 +47,17 @@ def initialize_distributed(
         # Cluster auto-detection (TPU pod env vars) or single-process.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run: nothing to initialize
+        except Exception as e:  # noqa: BLE001 — must not abort single-host
+            import sys
+
+            print(
+                "initialize_distributed: cluster auto-detection failed "
+                f"({type(e).__name__}: {e}); continuing single-process. "
+                "If this IS a multi-host run, pass coordinator_address/"
+                "num_processes/process_id explicitly — computing on a "
+                "partial mesh would silently produce wrong results.",
+                file=sys.stderr,
+            )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -98,23 +98,51 @@ def build_error() -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def read_pgm(path: str | os.PathLike, max_side: int = 8192) -> np.ndarray:
-    """Read a P5/P2 PGM into a (H, W) float32 array in [0, 1]."""
+def _pgm_dims(path) -> tuple[int, int]:
+    """Parse (w, h) from a P5/P2 header without reading pixel data."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    tokens = []
+    i = 0
+    while i < len(head) and len(tokens) < 3:
+        if head[i : i + 1] == b"#":
+            while i < len(head) and head[i] not in b"\n":
+                i += 1
+        elif head[i : i + 1].isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(head) and not head[j : j + 1].isspace():
+                j += 1
+            tokens.append(head[i:j])
+            i = j
+    if len(tokens) < 3 or tokens[0] not in (b"P5", b"P2"):
+        raise IOError(f"{path}: not a PGM header")
+    return int(tokens[1]), int(tokens[2])
+
+
+def read_pgm(path: str | os.PathLike) -> np.ndarray:
+    """Read a P5/P2 PGM into a (H, W) float32 array in [0, 1].
+
+    Dimensions are parsed from the header first so the buffer is allocated
+    exactly (no fixed max-size allocation).
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native lib unavailable: {_build_error}")
-    buf = np.empty(max_side * max_side, np.float32)
+    w0, h0 = _pgm_dims(path)
+    buf = np.empty(w0 * h0, np.float32)
     w = ctypes.c_int()
     h = ctypes.c_int()
     rc = lib.sift_read_pgm(
         str(path).encode(),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.byref(w), ctypes.byref(h),
-        ctypes.c_long(max_side * max_side),
+        ctypes.c_long(w0 * h0),
     )
     if rc != 0:
         raise IOError(f"sift_read_pgm({path}) failed with code {rc}")
-    return buf[: w.value * h.value].reshape(h.value, w.value).copy()
+    return buf[: w.value * h.value].reshape(h.value, w.value)
 
 
 def write_pgm(path: str | os.PathLike, img: np.ndarray) -> None:
