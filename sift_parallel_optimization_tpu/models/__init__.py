@@ -1,0 +1,29 @@
+"""Model layer: frontend, matching, geometry, SfM, BA, PGO."""
+
+from sift_parallel_optimization_tpu.models.ba import (  # noqa: F401
+    BAState,
+    Observations,
+    bundle_adjust,
+)
+from sift_parallel_optimization_tpu.models.frontend import (  # noqa: F401
+    Features,
+    extract_features,
+    sift_config,
+)
+from sift_parallel_optimization_tpu.models.keypoints import (  # noqa: F401
+    Keypoints,
+)
+from sift_parallel_optimization_tpu.models.matching import (  # noqa: F401
+    match_descriptors,
+    ransac_fundamental,
+    ransac_homography,
+)
+from sift_parallel_optimization_tpu.models.pose_graph import (  # noqa: F401
+    PoseGraphEdges,
+    Poses,
+    optimize_pose_graph,
+)
+from sift_parallel_optimization_tpu.models.sfm import (  # noqa: F401
+    SfmMap,
+    run_sfm,
+)

@@ -1,0 +1,1 @@
+"""Utilities: native runtime bindings, profiling, trajectories, checkpoints."""
