@@ -32,10 +32,11 @@ def _load_image(args):
 
     if args.image:
         img = native.read_pgm(args.image)
-        # Crop to the largest centered square power-of-two-friendly size.
+        # Largest centered square crop.
         side = min(img.shape)
-        img = img[:side, :side]
-        return jnp.asarray(img)
+        y0 = (img.shape[0] - side) // 2
+        x0 = (img.shape[1] - side) // 2
+        return jnp.asarray(img[y0:y0 + side, x0:x0 + side])
     return jnp.asarray(native.synth_frame(args.size, 0, seed=args.seed))
 
 

@@ -59,6 +59,19 @@ def reference_filter_bank(size: int, n_scales: int, dtype=jnp.float32) -> jax.Ar
     return f.astype(dtype)
 
 
+def window_dog_planes(f: jax.Array) -> jax.Array:
+    """(n_scales, N) window bank -> (n_scales, ...) separable DoG weights.
+
+    Planes 0..S+1 hold W_s - W_{s+1}, plane S+2 holds W_{S+2} (the
+    in-place storage layout of GuassDePyramid.h:136-149). Shared by the
+    core path and every sharded decomposition so the REFERENCE semantics
+    live in exactly one place.
+    """
+    windows = f[:, :, None] * f[:, None, :]
+    w_dog = windows[:-1] - windows[1:]
+    return jnp.concatenate([w_dog, windows[-1:]], axis=0)
+
+
 def reference_dog_octave(base: jax.Array, S: int) -> jax.Array:
     """One octave: (size, size) base image -> (S+3, size, size) result.
 
@@ -75,10 +88,7 @@ def reference_dog_octave(base: jax.Array, S: int) -> jax.Array:
     """
     size = base.shape[-1]
     f = reference_filter_bank(size, S + 3, dtype=base.dtype)  # (S+3, size)
-    windows = f[:, :, None] * f[:, None, :]  # (S+3, size, size)
-    w_dog = windows[:-1] - windows[1:]  # (S+2, size, size)
-    w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)  # (S+3, ...)
-    return base[None, :, :] * w_all
+    return base[None, :, :] * window_dog_planes(f)
 
 
 def strided_subsample(img: jax.Array, step: int) -> jax.Array:
@@ -147,9 +157,7 @@ def _reference_dog_tail_batched(
             for b in bases
         ]
     )  # (n_tail, n_scales, t)
-    windows = banks[:, :, :, None] * banks[:, :, None, :]
-    w_dog = windows[:, :-1] - windows[:, 1:]
-    w_all = jnp.concatenate([w_dog, windows[:, -1:]], axis=1)
+    w_all = jnp.stack([window_dog_planes(b) for b in banks])
     out = stacked[:, None] * w_all  # (n_tail, n_scales, t, t)
     return [
         out[i, :, : b.shape[0], : b.shape[0]] for i, b in enumerate(bases)
@@ -271,25 +279,36 @@ def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
     the MXU does all scales of an octave concurrently instead of 2*(S+3)
     separate elementwise passes.
     """
+    # precision=HIGHEST: TPU's default matmul precision is bf16, whose
+    # ~1e-3 error on the blur matmuls injects spurious DoG extrema (TPU
+    # detected 97 keypoints where f32 CPU found 62 on the same frame).
+    prec = jax.lax.Precision.HIGHEST
+    dt = base.dtype
     h, w = base.shape[-2], base.shape[-1]
-    bank = jnp.stack([blur_matrix(w, s) for s in sigmas])  # (S, W, W)
+    bank = jnp.stack([blur_matrix(w, s) for s in sigmas]).astype(dt)
     if h != w:
-        bank_h = jnp.stack([blur_matrix(h, s) for s in sigmas])
+        bank_h = jnp.stack([blur_matrix(h, s) for s in sigmas]).astype(dt)
         tmp = jnp.einsum(
-            "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
+            "hw,swv->shv", base, bank,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return jnp.einsum(
-            "shu,shv->suv", bank_h, tmp, preferred_element_type=jnp.float32
-        )
+            "shu,shv->suv", bank_h, tmp,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
     tmp = jnp.einsum(
-        "hw,swv->shv", base, bank, preferred_element_type=jnp.float32
+        "hw,swv->shv", base, bank,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     # Row pass is B^T @ tmp (contract over B's ROW index): B is only
     # symmetric in the interior — edge clamping breaks symmetry, so using
-    # B here instead of B^T corrupts the outermost rows.
+    # B here instead of B^T corrupts the outermost rows. Inputs keep the
+    # caller's dtype (bf16 halves HBM + doubles MXU rate); accumulation is
+    # always f32.
     return jnp.einsum(
-        "shu,shv->suv", bank, tmp, preferred_element_type=jnp.float32
-    )
+        "shu,shv->suv", bank, tmp,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dt)
 
 
 def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]:

@@ -120,6 +120,19 @@ class NormalBlocks(NamedTuple):
     w: jax.Array    # (C, P, 6, 3) camera-point cross blocks
 
 
+def _f32_precision(fn):
+    """HIGHEST matmul precision wrapper (see models/geometry.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_precision
 def assemble_normal_blocks(
     state: BAState,
     obs: Observations,
@@ -164,6 +177,7 @@ def assemble_normal_blocks(
     return NormalBlocks(hcc=hcc, hpp=hpp, bc=bc, bp=bp, w=w)
 
 
+@_f32_precision
 def solve_schur(
     blocks: NormalBlocks,
     damping: float = 1e-3,

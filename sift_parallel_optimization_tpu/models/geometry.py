@@ -17,6 +17,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _f32_precision(fn):
+    """Run ``fn`` with HIGHEST matmul precision.
+
+    TPU's default matmul precision is bf16, which is catastrophic for the
+    geometry stack (SVDs, triangulation, normal-equation solves): the SfM
+    pipeline produced thousands-of-pixels reprojection errors until these
+    paths were pinned to f32.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # Rotations (axis-angle <-> matrix)
 # ---------------------------------------------------------------------------
@@ -65,24 +83,29 @@ def rotation_log(R: jax.Array) -> jax.Array:
     theta -> pi (the antisymmetric part vanishes); there the axis is
     recovered from the dominant column of R + I instead.
     """
-    cos_t = jnp.clip((jnp.trace(R) - 1) / 2, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     v = jnp.stack(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
     )
-    sin_t = jnp.sin(theta)
-    s = jnp.where(sin_t > 1e-6, theta / jnp.maximum(2 * sin_t, 1e-12), 0.5)
-    w_general = v * s
-    # Near pi: R + I = 2 * axis axis^T (+ O(pi - theta)); any nonzero
-    # column of it is parallel to the axis. Sign is immaterial at pi and
-    # disambiguated by v where it is still informative.
+    nv = jnp.linalg.norm(v)  # = 2 sin(theta), exact from matrix entries
+    cos_t = jnp.clip((jnp.trace(R) - 1) / 2, -1.0, 1.0)
+    # atan2(|v|/2, cos) is well conditioned everywhere, unlike arccos whose
+    # f32 error near +-1 gets amplified by theta/(2 sin theta).
+    theta = jnp.arctan2(nv / 2.0, cos_t)
+    # w = v * theta / |v|; as theta -> 0 the ratio -> 1/2 (continuous).
+    ratio = jnp.where(nv > 1e-6, theta / jnp.maximum(nv, 1e-12), 0.5)
+    w_general = v * ratio
+    # Near pi the antisymmetric part vanishes and v carries no direction:
+    # recover the axis from R + I = 2 axis axis^T (+ O(pi - theta) error,
+    # so keep this branch NARROW). With the atan2 form above, the general
+    # formula's direction error is ~eps/(2*gap); the crossover where both
+    # errors match is gap ~ sqrt(eps) ~ 3e-4.
     B = R + jnp.eye(3)
     k = jnp.argmax(jnp.diagonal(B))
     col = B[:, k]
     axis = col / jnp.maximum(jnp.linalg.norm(col), 1e-12)
     sign = jnp.where(jnp.dot(axis, v) < 0, -1.0, 1.0)
     w_pi = axis * theta * sign
-    return jnp.where(theta > jnp.pi - 1e-3, w_pi, w_general)
+    return jnp.where(theta > jnp.pi - 3e-4, w_pi, w_general)
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +140,7 @@ def project(
 # ---------------------------------------------------------------------------
 
 
+@_f32_precision
 def triangulate(
     P1: jax.Array, P2: jax.Array, p1: jax.Array, p2: jax.Array
 ) -> jax.Array:
@@ -163,6 +187,7 @@ def decompose_essential(E: jax.Array):
     return Rs, ts
 
 
+@_f32_precision
 def recover_pose(
     E: jax.Array,
     p1: jax.Array,
@@ -195,6 +220,7 @@ def recover_pose(
 # ---------------------------------------------------------------------------
 
 
+@_f32_precision
 def pnp_dlt(
     pts3d: jax.Array, pts2d: jax.Array, K: jax.Array, w: jax.Array
 ) -> Camera:
@@ -234,6 +260,7 @@ def pnp_dlt(
     return refine_pose(cam, pts3d, pts2d, K, w, n_iters=3)
 
 
+@_f32_precision
 def refine_pose(
     cam: Camera,
     pts3d: jax.Array,

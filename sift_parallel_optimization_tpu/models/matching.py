@@ -24,6 +24,18 @@ import jax.numpy as jnp
 from sift_parallel_optimization_tpu.models.keypoints import Keypoints
 
 
+def _f32_precision(fn):
+    """HIGHEST matmul precision wrapper (see models/geometry.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class Matches(NamedTuple):
     """Row i: keypoint i of image 1 matched to ``idx2[i]`` of image 2."""
 
@@ -108,11 +120,11 @@ def _normalize_points(p: jax.Array, mask: jax.Array):
     return pn, T
 
 
-def _homography_from_4(p1: jax.Array, p2: jax.Array) -> jax.Array:
-    """(4, 2) x (4, 2) -> (3, 3) homography via DLT with h33 = 1.
+def _dlt_rows(p1: jax.Array, p2: jax.Array):
+    """Homography DLT design (2N, 8) matrix and (2N,) rhs with h33 = 1.
 
-    8x8 linear solve; a singular system yields inf/nan entries which the
-    scoring pass maps to -inf inliers — no branching needed.
+    Shared by the minimal solver and the inlier refinement so both solve
+    the SAME parameterization.
     """
     x, y = p1[:, 0], p1[:, 1]
     u, v = p2[:, 0], p2[:, 1]
@@ -120,8 +132,18 @@ def _homography_from_4(p1: jax.Array, p2: jax.Array) -> jax.Array:
     o = jnp.ones_like(x)
     rows_u = jnp.stack([x, y, o, z, z, z, -u * x, -u * y], axis=-1)
     rows_v = jnp.stack([z, z, z, x, y, o, -v * x, -v * y], axis=-1)
-    a = jnp.concatenate([rows_u, rows_v], axis=0)      # (8, 8)
-    b = jnp.concatenate([u, v], axis=0)                # (8,)
+    a = jnp.concatenate([rows_u, rows_v], axis=0)      # (2N, 8)
+    b = jnp.concatenate([u, v], axis=0)                # (2N,)
+    return a, b
+
+
+def _homography_from_4(p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """(4, 2) x (4, 2) -> (3, 3) homography via DLT with h33 = 1.
+
+    8x8 linear solve; a singular system yields inf/nan entries which the
+    scoring pass maps to -inf inliers — no branching needed.
+    """
+    a, b = _dlt_rows(p1, p2)
     h = jnp.linalg.solve(a, b)
     return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
 
@@ -139,6 +161,7 @@ class RansacResult(NamedTuple):
     n_inliers: jax.Array  # () i32
 
 
+@_f32_precision
 def ransac_homography(
     key,
     p1: jax.Array,
@@ -175,14 +198,7 @@ def ransac_homography(
 
 def _refine_homography(p1, p2, w: jax.Array) -> jax.Array:
     """Weighted least-squares DLT (h33 = 1) over all points with weights w."""
-    x, y = p1[:, 0], p1[:, 1]
-    u, v = p2[:, 0], p2[:, 1]
-    z = jnp.zeros_like(x)
-    o = jnp.ones_like(x)
-    rows_u = jnp.stack([x, y, o, z, z, z, -u * x, -u * y], axis=-1)
-    rows_v = jnp.stack([z, z, z, x, y, o, -v * x, -v * y], axis=-1)
-    a = jnp.concatenate([rows_u, rows_v], axis=0)      # (2K, 8)
-    b = jnp.concatenate([u, v], axis=0)
+    a, b = _dlt_rows(p1, p2)
     ww = jnp.concatenate([w, w], axis=0)
     ata = jnp.einsum("ki,k,kj->ij", a, ww, a) + 1e-6 * jnp.eye(8)
     atb = jnp.einsum("ki,k->i", a, ww * b)
@@ -216,6 +232,7 @@ def _epipolar_dist_sq(f: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
     return num / jnp.maximum(den, 1e-12)
 
 
+@_f32_precision
 def ransac_fundamental(
     key,
     p1: jax.Array,
@@ -236,13 +253,16 @@ def ransac_fundamental(
     f_ok = jnp.all(jnp.isfinite(f.reshape(n_hypotheses, -1)), axis=-1)
     f = jnp.where(f_ok[:, None, None], f, jnp.eye(3))
 
-    err = jax.vmap(lambda ff: _epipolar_dist_sq(ff, pn1, pn2))(f)  # (N, K)
-    # Threshold in normalized units: scale ~ t1[0,0] (isotropic).
-    thr = threshold * t1[0, 0]
-    inl = (err < thr * thr) & mask[None, :]
+    # Score in PIXEL coordinates: Sampson distance mixes gradients from
+    # both images, so a single normalized-frame threshold is wrong when
+    # the two point sets have different spreads. De-normalize every
+    # hypothesis (p2n^T F p1n = p2^T (t2^T F t1) p1) and threshold in px.
+    f_px = jnp.einsum("ba,nbc,cd->nad", t2, f, t1)      # (N, 3, 3)
+    err = jax.vmap(lambda ff: _epipolar_dist_sq(ff, p1, p2))(f_px)
+    inl = (err < threshold * threshold) & mask[None, :]
     score = jnp.where(f_ok, inl.sum(-1), -1)
     best = jnp.argmax(score)
-    f_best = t2.T @ f[best] @ t1  # de-normalize: p2n^T F p1n = p2^T F' p1
+    f_best = f_px[best]
     nrm = jnp.linalg.norm(f_best)
     f_best = f_best / jnp.where(nrm > 1e-12, nrm, 1.0)
     return RansacResult(

@@ -76,6 +76,19 @@ def pgo_rms(poses: Poses, edges: PoseGraphEdges) -> jax.Array:
     return jnp.sqrt(jnp.sum(r * r) / n)
 
 
+def _f32_precision(fn):
+    """HIGHEST matmul precision wrapper (see models/geometry.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_precision
 def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
     """Normal-equation blocks; summing over edge shards commutes, so a
     psum over the returned pytree yields the global system."""
@@ -118,6 +131,7 @@ def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
     return hii + hjj, cross, b
 
 
+@_f32_precision
 def solve_pgo(hdiag, cross, b, damping: float = 1e-3):
     """Dense solve of the (6N, 6N) system -> (N, 6) update."""
     N = hdiag.shape[0]

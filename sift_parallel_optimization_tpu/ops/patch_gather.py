@@ -1,14 +1,16 @@
 """Pallas TPU kernel: per-keypoint patch gather via scalar-prefetched DMA.
 
-The descriptor stage needs an axis-aligned (P, P) patch around every
-keypoint (models/descriptor.py). The XLA lowering of a vmapped
-`dynamic_slice` is an element-granular gather running at ~20 GB/s
-effective; this kernel instead issues ONE 2-D DMA per keypoint from the
-HBM-resident Gaussian planes into the output block — the DMA engine moves
-whole rows, and the grid pipeline overlaps each keypoint's copy with the
-previous block's writeback. Keypoint coordinates arrive through
-`PrefetchScalarGridSpec` so the slice offsets are known before each grid
-step launches its DMA.
+The descriptor stage needs an axis-aligned patch around every keypoint
+(models/descriptor.py). The XLA lowering of a vmapped `dynamic_slice` is
+an element-granular gather running at ~20 GB/s effective; this kernel
+instead issues ONE 2-D DMA per keypoint from the HBM-resident plane atlas
+into the output block — the DMA engine moves whole rows, and the grid
+pipeline overlaps each keypoint's copy with the previous block's
+writeback. Keypoint offsets arrive through `PrefetchScalarGridSpec` so
+each slice is known before its grid step launches the DMA, and they must
+be tile-aligned (rows to 8 sublanes, cols to 128 lanes) for Mosaic to
+prove the transfer legal — callers pre-align and absorb the remainder in
+their resampling weights.
 """
 
 from __future__ import annotations
@@ -19,23 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _kernel(scale_ref, ys_ref, xs_ref, planes_ref, out_ref, sem):
-    k = pl.program_id(0)
-    s = scale_ref[k]
-    # Offsets are pre-aligned by the caller; the hints let Mosaic prove the
-    # DMA slice starts on (sublane, lane) tile boundaries.
-    y0 = pl.multiple_of(ys_ref[k], 8)
-    x0 = pl.multiple_of(xs_ref[k], 128)
-    p = out_ref.shape[-1]
-    copy = pltpu.make_async_copy(
-        planes_ref.at[s, pl.ds(y0, p), pl.ds(x0, p)],
-        out_ref.at[0],
-        sem,
-    )
-    copy.start()
-    copy.wait()
 
 
 def _kernel2d(ys_ref, xs_ref, atlas_ref, out_ref, sem):
@@ -107,40 +92,3 @@ def extract_atlas_patches(
     if jax.default_backend() in ("tpu", "axon"):
         return extract_atlas_patches_pallas(atlas, ys, xs, rows, cols)
     return extract_atlas_patches_slice(atlas, ys, xs, rows, cols)
-
-
-@functools.partial(jax.jit, static_argnames=("patch",))
-def extract_patches_pallas(
-    planes: jax.Array,
-    scale_idx: jax.Array,
-    ys: jax.Array,
-    xs: jax.Array,
-    patch: int,
-) -> jax.Array:
-    """(S, H, W) planes + (K,) integer (scale, y0, x0) -> (K, patch, patch).
-
-    Offsets must satisfy 0 <= y0 <= H - patch, 0 <= x0 <= W - patch
-    (callers pre-pad the planes and clamp, models/descriptor.py).
-    """
-    k = scale_idx.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(k,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, patch, patch), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, patch, patch), planes.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        scale_idx.astype(jnp.int32),
-        ys.astype(jnp.int32),
-        xs.astype(jnp.int32),
-        planes,
-    )

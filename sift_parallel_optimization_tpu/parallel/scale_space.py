@@ -35,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sift_parallel_optimization_tpu.core.pyramid_ref import (
     reference_filter_bank,
     reference_subsample,
+    window_dog_planes,
 )
 from sift_parallel_optimization_tpu.parallel.halo import exchange_rows
 
@@ -53,8 +54,8 @@ def _local_window_dog(local: jax.Array, n_scales: int, global_size: int) -> jax.
     h = local.shape[0]
     f = reference_filter_bank(global_size, n_scales, dtype=local.dtype)
     frow = lax.dynamic_slice_in_dim(f, i * h, h, axis=1)  # (n_scales, h)
-    fcol = f  # (n_scales, N)
-    windows = frow[:, :, None] * fcol[:, None, :]  # (n_scales, h, N)
+    # Rectangular variant of window_dog_planes (row/col banks differ).
+    windows = frow[:, :, None] * f[:, None, :]  # (n_scales, h, N)
     w_dog = windows[:-1] - windows[1:]
     w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)
     return local[None] * w_all
@@ -225,10 +226,7 @@ def _local_octaves_dog(
             jnp.int32
         )
         f = _masked_filter_bank(n, n_scales, length)
-        windows = f[:, :, None] * f[:, None, :]
-        w_dog = windows[:-1] - windows[1:]
-        w_all = jnp.concatenate([w_dog, windows[-1:]], axis=0)
-        out = base[None] * w_all
+        out = base[None] * window_dog_planes(f)
         # Zero the padded region and any octave index beyond the pyramid.
         valid = oct_idx < n_octaves
         outs.append(jnp.where(valid, out, 0.0))

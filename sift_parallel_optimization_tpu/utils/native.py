@@ -227,9 +227,13 @@ def _synth_frame_numpy(size: int, frame_idx: int, seed: int) -> np.ndarray:
 class FrameLoader:
     """Multithreaded prefetching frame source (native ring of buffers).
 
-    Iterating yields (frame_idx, (size, size) float32 array). The native
-    workers stay ahead of the consumer, so host frame generation overlaps
-    device compute — the host-side analogue of double-buffered DMA.
+    ``next_frame`` yields (frame_idx, array) in STRICT frame order: the
+    native workers complete frames in arbitrary order (n_threads > 1), so
+    out-of-order completions are buffered here until their turn — sequence
+    consumers (e.g. run_sfm registering frame i against i-1) can rely on
+    ordering. The workers stay ahead of the consumer, so host frame
+    generation overlaps device compute — the host-side analogue of
+    double-buffered DMA.
     """
 
     def __init__(
@@ -241,19 +245,29 @@ class FrameLoader:
             raise RuntimeError(f"native lib unavailable: {_build_error}")
         self._lib = lib
         self._size = size
+        self._next = 0
+        self._pending: dict[int, np.ndarray] = {}
         self._handle = lib.sift_loader_create(
             size, n_buffers, n_threads, ctypes.c_uint64(seed)
         )
         if not self._handle:
             raise RuntimeError("sift_loader_create failed")
 
-    def next_frame(self) -> tuple[int, np.ndarray]:
+    def _acquire(self) -> tuple[int, np.ndarray]:
         idx = ctypes.c_int()
         ptr = self._lib.sift_loader_acquire(self._handle, ctypes.byref(idx))
         arr = np.ctypeslib.as_array(ptr, shape=(self._size, self._size))
         out = arr.copy()  # detach before releasing the ring slot
         self._lib.sift_loader_release(self._handle, ptr)
         return idx.value, out
+
+    def next_frame(self) -> tuple[int, np.ndarray]:
+        while self._next not in self._pending:
+            idx, arr = self._acquire()
+            self._pending[idx] = arr
+        i = self._next
+        self._next += 1
+        return i, self._pending.pop(i)
 
     def close(self) -> None:
         if self._handle:

@@ -19,6 +19,19 @@ def camera_centers(rvecs: jax.Array, tvecs: jax.Array) -> jax.Array:
     return -jnp.einsum("cij,ci->cj", R, tvecs)
 
 
+def _f32_precision(fn):
+    """HIGHEST matmul precision wrapper (see models/geometry.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_precision
 def umeyama_alignment(
     src: jax.Array, dst: jax.Array, with_scale: bool = True
 ):
