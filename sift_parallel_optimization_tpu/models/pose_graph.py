@@ -127,7 +127,10 @@ def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
         + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
     )
     w_ij = jnp.einsum("eab,eac->ebc", ji, jj)   # (E, 6, 6)
-    cross = jnp.zeros((N, N, 6, 6), jnp.float32).at[edges.i, edges.j].add(w_ij)
+    # Flat-index segment_sum beats the 2-D scatter on TPU (see models/ba.py).
+    cross = jax.ops.segment_sum(
+        w_ij.reshape(-1, 36), edges.i * N + edges.j, N * N
+    ).reshape(N, N, 6, 6)
     return hii + hjj, cross, b
 
 
