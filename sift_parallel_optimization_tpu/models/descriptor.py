@@ -26,6 +26,15 @@ Orientation and descriptor share the same patches: use
 ``orient_and_describe`` for the fused path (the frontend does); the
 separate ``assign_orientations`` / ``compute_descriptors`` entry points
 are kept for tests and ad-hoc use.
+
+Precision note: this stage intentionally runs at the backend's DEFAULT
+matmul precision (bf16 on TPU) — pinning it to f32 doubles the frontend
+cost for no meaningful accuracy gain (CPU-f32 vs TPU agree to median
+descriptor similarity 0.9996). The one observable effect: a keypoint
+whose orientation histogram has two near-equal peaks may pick the other
+peak on a different backend (single-orientation design, no Lowe 80%
+duplicates); such a keypoint simply fails to match, which the pipeline
+tolerates by construction.
 """
 
 from __future__ import annotations
