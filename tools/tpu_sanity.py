@@ -1,0 +1,128 @@
+"""On-hardware sanity checks (the CPU pytest suite cannot catch these).
+
+Run on a machine with the real TPU attached:
+
+    python tools/tpu_sanity.py
+
+Each check prints PASS/FAIL. These exist because two whole bug classes
+only manifest on hardware: TPU matmul-precision defaults (bf16) and
+Pallas/Mosaic kernel behavior — the CPU mesh runs f32 and interpret mode.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    failures = 0
+
+    def check(name, ok, detail=""):
+        nonlocal failures
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        failures += 0 if ok else 1
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} ({dev})")
+
+    # 1. Pallas DMA patch gather == XLA dynamic_slice.
+    from sift_parallel_optimization_tpu.ops.patch_gather import (
+        extract_atlas_patches_pallas,
+        extract_atlas_patches_slice,
+    )
+
+    rng = np.random.default_rng(0)
+    atlas = jnp.asarray(rng.random((1024, 768), np.float32))
+    ys = jnp.asarray(rng.integers(0, (1024 - 112) // 8, 64) * 8, jnp.int32)
+    xs = jnp.asarray(rng.integers(0, (768 - 256) // 128, 64) * 128, jnp.int32)
+    a = extract_atlas_patches_pallas(atlas, ys, xs, 112, 256)
+    b = extract_atlas_patches_slice(atlas, ys, xs, 112, 256)
+    check("pallas DMA gather bit-equal", bool(jnp.all(a == b)))
+
+    # 2. Pyramid parity vs the NumPy float64 oracle (catches precision
+    #    regressions in the Toeplitz blur path).
+    from sift_parallel_optimization_tpu.core.numpy_golden import (
+        golden_dog_pyramid,
+    )
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        reference_dog_pyramid,
+    )
+
+    img = rng.integers(0, 256, size=(32, 32)).astype(np.float32)
+    golden = golden_dog_pyramid(img, 2)
+    ours = reference_dog_pyramid(jnp.asarray(img), 2)
+    maxrel = max(
+        float(np.max(np.abs(np.asarray(u) - g) / (np.abs(g) + 1e-3)))
+        for u, g in zip(ours, golden)
+    )
+    check("REFERENCE pyramid vs float64 oracle", maxrel < 5e-3,
+          f"maxrel={maxrel:.2e}")
+
+    # 3. Frontend detection count must be in a sane band on the rendered
+    #    frame (bf16-precision blurs previously inflated 62 -> 97).
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    size = 256
+    frame = native.render_frame(
+        size, np.zeros(3, np.float32), np.zeros(3, np.float32), 256.0, seed=0
+    )
+    feats = jax.jit(
+        lambda x: extract_features(x, sift_config(size), 256)
+    )(jnp.asarray(frame))
+    n = int(feats.keypoints.count())
+    check("frontend keypoint count in [50, 75]", 50 <= n <= 75, f"n={n}")
+    norms = np.linalg.norm(
+        np.asarray(feats.descriptors)[np.asarray(feats.keypoints.valid)],
+        axis=1,
+    )
+    check("descriptor norms == 1", bool(np.allclose(norms, 1, atol=1e-3)))
+
+    # 4. End-to-end SfM on a rendered trajectory (catches geometry-stack
+    #    precision regressions: was RMS ~5000 px under bf16 matmuls).
+    from sift_parallel_optimization_tpu.models.ba import rms_error
+    from sift_parallel_optimization_tpu.models.sfm import run_sfm
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        ate_rmse,
+        camera_centers,
+    )
+
+    n_frames = 5
+    gt_r = np.stack(
+        [[0.0, 0.03 * i, 0.0] for i in range(n_frames)]
+    ).astype(np.float32)
+    gt_t = np.stack(
+        [[-0.35 * i, 0.0, 0.04 * i] for i in range(n_frames)]
+    ).astype(np.float32)
+    K = jnp.array([[256.0, 0, 128], [0, 256.0, 128], [0, 0, 1]])
+    fe = jax.jit(lambda x: extract_features(x, sift_config(size), 256))
+    fs = [
+        fe(jnp.asarray(native.render_frame(size, gt_r[i], gt_t[i], 256.0,
+                                           seed=0)))
+        for i in range(n_frames)
+    ]
+    m = run_sfm(jax.random.key(0), fs, K)
+    rms = float(rms_error(m.ba_state(), m.obs, K))
+    est = camera_centers(m.rvecs, m.tvecs)
+    gt = camera_centers(jnp.asarray(gt_r), jnp.asarray(gt_t))
+    ate = float(ate_rmse(est, gt))
+    check("SfM reprojection RMS < 1 px", rms < 1.0, f"rms={rms:.3f}")
+    check("SfM ATE < 5% of span", ate < 0.05 * 1.41, f"ate={ate:.4f}")
+
+    print(f"\n{failures} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
