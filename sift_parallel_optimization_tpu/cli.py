@@ -130,6 +130,44 @@ def _cmd_sfm(args) -> int:
         camera_centers,
     )
 
+    if args.image_dir:
+        # Real-data mode: a directory of PGM frames (sorted by name).
+        import pathlib
+
+        paths = sorted(pathlib.Path(args.image_dir).glob("*.pgm"))
+        if len(paths) < 2:
+            print(f"need >= 2 .pgm frames in {args.image_dir}")
+            return 1
+        paths = paths[: args.frames] if args.frames else paths
+        imgs = []
+        side = None
+        for p in paths:
+            im = native.read_pgm(p)
+            s0 = min(im.shape)
+            y0 = (im.shape[0] - s0) // 2
+            x0 = (im.shape[1] - s0) // 2
+            im = im[y0:y0 + s0, x0:x0 + s0]
+            side = s0 if side is None else min(side, s0)
+            imgs.append(im)
+        imgs = [im[:side, :side] for im in imgs]
+        size = side
+        focal = args.focal or float(size)
+        cfg = sift_config(size)
+        K = jnp.array(
+            [[focal, 0.0, size / 2], [0.0, focal, size / 2], [0.0, 0.0, 1.0]]
+        )
+        fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+        feats = [fe(jnp.asarray(im)) for im in imgs]
+        m = run_sfm(jax.random.key(args.seed), feats, K)
+        print(f"cameras: {int(m.cam_valid.sum())}/{len(imgs)}  "
+              f"landmarks: {int(m.pt_valid.sum())}  "
+              f"observations: {int(m.obs.valid.sum())}")
+        print(f"reprojection RMS: "
+              f"{float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
+        c = np.asarray(m.tvecs)[np.asarray(m.cam_valid)]
+        print(f"trajectory extent: {np.ptp(c, axis=0).round(3).tolist()}")
+        return 0
+
     size = args.size
     focal = float(size)
     cfg = sift_config(size)
@@ -236,10 +274,14 @@ def main(argv=None) -> int:
             c.add_argument("--max-keypoints", type=int, default=512)
         c.set_defaults(fn=fn)
 
-    s = sub.add_parser("sfm", help="synthetic-sequence SfM demo")
+    s = sub.add_parser("sfm", help="SfM on rendered or real PGM sequences")
     s.add_argument("--frames", type=int, default=6)
     s.add_argument("--size", type=int, default=256)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--image-dir", default=None,
+                   help="directory of .pgm frames (real-data mode)")
+    s.add_argument("--focal", type=float, default=None,
+                   help="focal length in px (default: image side)")
     s.set_defaults(fn=_cmd_sfm)
 
     st = sub.add_parser("stream", help="continuous frontend serving loop")
