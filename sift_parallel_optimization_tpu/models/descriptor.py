@@ -220,15 +220,41 @@ def _orientation_from_patches(patches, py, px, sig_o, kp: Keypoints):
                       preferred_element_type=jnp.float32)
 
     hist = _smooth_hist_circular(hist)
-    peak = jnp.argmax(hist, axis=-1)
-    hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
-    hl = jnp.take_along_axis(hist, ((peak - 1) % N_ORI_BINS)[:, None], -1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % N_ORI_BINS)[:, None], -1)[:, 0]
-    denom = hl - 2 * hp + hr
-    frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    binf = peak.astype(jnp.float32) + frac
-    theta = binf / N_ORI_BINS * 2 * jnp.pi - jnp.pi
-    return jnp.mod(theta + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    def peak_theta(h, peak):
+        hp = jnp.take_along_axis(h, peak[:, None], -1)[:, 0]
+        hl = jnp.take_along_axis(
+            h, ((peak - 1) % N_ORI_BINS)[:, None], -1
+        )[:, 0]
+        hr = jnp.take_along_axis(
+            h, ((peak + 1) % N_ORI_BINS)[:, None], -1
+        )[:, 0]
+        denom = hl - 2 * hp + hr
+        frac = jnp.where(
+            jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0
+        )
+        binf = peak.astype(jnp.float32) + frac
+        theta = binf / N_ORI_BINS * 2 * jnp.pi - jnp.pi
+        return jnp.mod(theta + jnp.pi, 2 * jnp.pi) - jnp.pi, hp
+
+    peak1 = jnp.argmax(hist, axis=-1)
+    theta1, h1 = peak_theta(hist, peak1)
+    # Secondary peak (Lowe's 80% rule): best bin at distance >= 2 from the
+    # primary, qualifying when within 80% of it AND a local maximum.
+    bins = jnp.arange(N_ORI_BINS)
+    d = jnp.abs(bins[None, :] - peak1[:, None])
+    d = jnp.minimum(d, N_ORI_BINS - d)
+    masked = jnp.where(d >= 2, hist, -jnp.inf)
+    peak2 = jnp.argmax(masked, axis=-1)
+    theta2, h2 = peak_theta(hist, peak2)
+    hl2 = jnp.take_along_axis(
+        hist, ((peak2 - 1) % N_ORI_BINS)[:, None], -1
+    )[:, 0]
+    hr2 = jnp.take_along_axis(
+        hist, ((peak2 + 1) % N_ORI_BINS)[:, None], -1
+    )[:, 0]
+    second_ok = (h2 >= 0.8 * h1) & (h2 >= hl2) & (h2 >= hr2)
+    return theta1, theta2, second_ok
 
 
 def _descriptors_from_patches(patches, py, px, sig_o, theta, kp: Keypoints):
@@ -293,16 +319,43 @@ def _normalize_desc(hist: jax.Array, valid: jax.Array) -> jax.Array:
 
 
 def orient_and_describe(
-    gauss_octaves: list[jax.Array], kp: Keypoints
+    gauss_octaves: list[jax.Array],
+    kp: Keypoints,
+    dual_orientation: bool = False,
 ) -> tuple[Keypoints, jax.Array]:
-    """Fused path: one patch gather feeds orientation AND descriptor."""
+    """Fused path: one patch gather feeds orientation AND descriptor.
+
+    With ``dual_orientation`` (Lowe's 80% rule), the output doubles its
+    capacity: slots [K:2K) duplicate each keypoint with the secondary
+    histogram peak as orientation (valid only where a qualifying second
+    peak exists). Patches are gathered once and shared by both halves, so
+    the extra cost is one more descriptor-histogram pass. Downstream
+    consumers need no changes — they are capacity-agnostic.
+    """
     patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-    theta = _orientation_from_patches(patches, py, px, sig_o, kp)
-    kp = kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
-    hist = _descriptors_from_patches(
-        patches, py, px, sig_o, kp.orientation, kp
+    theta1, theta2, second_ok = _orientation_from_patches(
+        patches, py, px, sig_o, kp
     )
-    return kp, _normalize_desc(hist, kp.valid)
+    kp1 = kp._replace(orientation=jnp.where(kp.valid, theta1, 0.0))
+    hist1 = _descriptors_from_patches(
+        patches, py, px, sig_o, kp1.orientation, kp1
+    )
+    desc1 = _normalize_desc(hist1, kp1.valid)
+    if not dual_orientation:
+        return kp1, desc1
+
+    valid2 = kp.valid & second_ok
+    kp2 = kp._replace(
+        orientation=jnp.where(valid2, theta2, 0.0), valid=valid2
+    )
+    hist2 = _descriptors_from_patches(
+        patches, py, px, sig_o, kp2.orientation, kp2
+    )
+    desc2 = _normalize_desc(hist2, valid2)
+    both = Keypoints(*[
+        jnp.concatenate([a, b], axis=0) for a, b in zip(kp1, kp2)
+    ])
+    return both, jnp.concatenate([desc1, desc2], axis=0)
 
 
 def assign_orientations(
@@ -310,13 +363,13 @@ def assign_orientations(
 ) -> Keypoints:
     """Fill ``kp.orientation`` with the dominant gradient direction.
 
-    One orientation per keypoint (the dominant histogram peak with
-    parabolic interpolation). Secondary peaks (Lowe's 80% rule) are
-    intentionally not duplicated — capacity-stable shapes beat a ~15%
-    keypoint count increase on TPU.
+    One orientation per keypoint; use ``orient_and_describe`` with
+    ``dual_orientation=True`` for Lowe's 80% secondary-peak duplicates.
     """
     patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-    theta = _orientation_from_patches(patches, py, px, sig_o, kp)
+    theta, _theta2, _ok = _orientation_from_patches(
+        patches, py, px, sig_o, kp
+    )
     return kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
 
 

@@ -38,11 +38,19 @@ def extract_features(
     img: jax.Array,
     cfg: PyramidConfig,
     max_keypoints: int = 512,
+    dual_orientation: bool = False,
     **thresholds,
 ) -> Features:
-    """Full frontend on one (H, W) grayscale image in [0, 1]."""
+    """Full frontend on one (H, W) grayscale image in [0, 1].
+
+    ``dual_orientation`` enables Lowe's 80%-rule secondary orientations:
+    output capacity doubles to 2 * max_keypoints with slots [K:2K) holding
+    the secondary-peak duplicates (masked where no qualifying peak).
+    """
     gauss = sift_gaussian_pyramid(img, cfg)
     dogs = [g[1:] - g[:-1] for g in gauss]
     kp = detect_pyramid(dogs, cfg, max_keypoints=max_keypoints, **thresholds)
-    kp, desc = orient_and_describe(gauss, kp)
+    kp, desc = orient_and_describe(
+        gauss, kp, dual_orientation=dual_orientation
+    )
     return Features(keypoints=kp, descriptors=desc)

@@ -61,3 +61,49 @@ def test_detection_scale_invariance(rng):
     # Sigma scales with the blob; position stays centered.
     assert abs(s2 / s1 - 2.0) < 0.35, (s1, s2)
     assert abs(x1 - 64) < 1.5 and abs(x2 - 128) < 1.5
+
+
+def test_dual_orientation_duplicates(rng):
+    """Lowe 80% mode doubles capacity; duplicates share position/sigma and
+    carry a different orientation with a unit-norm descriptor."""
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+    )
+
+    size = 128
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.full((size, size), 0.5, np.float32)
+    for _ in range(15):
+        cy, cx = rng.uniform(12, size - 12, 2)
+        s = rng.uniform(2, 5)
+        img += rng.uniform(-0.4, 0.4) * np.exp(
+            -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s)
+        )
+    img += 0.1 * (rng.random((size, size), np.float32) - 0.5)
+    cfg = sift_config(size)
+    k = 64
+    f = extract_features(jnp.asarray(img), cfg, max_keypoints=k,
+                         dual_orientation=True)
+    kp = jax.tree.map(np.asarray, f.keypoints)
+    assert kp.x.shape[0] == 2 * k
+    d = np.asarray(f.descriptors)
+    assert d.shape[0] == 2 * k
+    prim, sec = kp.valid[:k], kp.valid[k:]
+    assert prim.sum() >= 4
+    # Secondary slots are a subset of primaries and share position/sigma.
+    assert np.all(sec <= prim)
+    np.testing.assert_array_equal(kp.x[k:][sec], kp.x[:k][sec])
+    np.testing.assert_array_equal(kp.sigma[k:][sec], kp.sigma[:k][sec])
+    if sec.sum():
+        # Orientations differ (bins are >= 2 apart) and descriptors are
+        # unit-norm.
+        do = np.abs(kp.orientation[k:][sec] - kp.orientation[:k][sec])
+        do = np.minimum(do, 2 * np.pi - do)
+        assert (do > 0.15).all()
+        norms = np.linalg.norm(d[k:][sec], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # Primary half must be identical to the single-orientation run.
+    f1 = extract_features(jnp.asarray(img), cfg, max_keypoints=k)
+    np.testing.assert_allclose(
+        np.asarray(f1.descriptors), d[:k], atol=1e-6
+    )
