@@ -139,24 +139,24 @@ def _cmd_sfm(args) -> int:
             print(f"need >= 2 .pgm frames in {args.image_dir}")
             return 1
         paths = paths[: args.frames] if args.frames else paths
+        raw = [native.read_pgm(p) for p in paths]
+        # Center-crop every frame to the GLOBAL min side so the optical
+        # center stays at K's assumed principal point (size/2, size/2).
+        side = min(min(im.shape) for im in raw)
         imgs = []
-        side = None
-        for p in paths:
-            im = native.read_pgm(p)
-            s0 = min(im.shape)
-            y0 = (im.shape[0] - s0) // 2
-            x0 = (im.shape[1] - s0) // 2
-            im = im[y0:y0 + s0, x0:x0 + s0]
-            side = s0 if side is None else min(side, s0)
-            imgs.append(im)
-        imgs = [im[:side, :side] for im in imgs]
+        for im in raw:
+            y0 = (im.shape[0] - side) // 2
+            x0 = (im.shape[1] - side) // 2
+            imgs.append(im[y0:y0 + side, x0:x0 + side])
         size = side
         focal = args.focal or float(size)
         cfg = sift_config(size)
         K = jnp.array(
             [[focal, 0.0, size / 2], [0.0, focal, size / 2], [0.0, 0.0, 1.0]]
         )
-        fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+        fe = jax.jit(
+            lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+        )
         feats = [fe(jnp.asarray(im)) for im in imgs]
         m = run_sfm(jax.random.key(args.seed), feats, K)
         print(f"cameras: {int(m.cam_valid.sum())}/{len(imgs)}  "
@@ -183,7 +183,9 @@ def _cmd_sfm(args) -> int:
         [[-0.35 * i, 0.0, 0.04 * i] for i in range(args.frames)]
     ).astype(np.float32)
 
-    fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+    )
     feats = []
     for i in range(args.frames):
         img = native.render_frame(

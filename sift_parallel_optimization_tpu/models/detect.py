@@ -138,14 +138,16 @@ def detect_octave(
     score = jnp.where(good, jnp.abs(d_hat), 0.0)
 
     # Static-shape extraction: top-k over the flattened interior. On TPU,
-    # approx_max_k (tiled two-stage reduction, ~99% recall among real
-    # candidates) is ~200x faster than the exact sort-based top_k at these
-    # sizes; exact top_k elsewhere keeps CPU tests deterministic.
+    # approx_max_k (tiled two-stage reduction) is ~200x faster than the
+    # exact sort-based top_k at these sizes; exact top_k elsewhere keeps
+    # CPU tests deterministic. recall_target=0.99 bounds the TPU-vs-CPU
+    # top-k divergence to ~1% of true candidates (a backend-divergence
+    # class guarded on hardware by tools/tpu_sanity.py).
     ds, hs, ws = score.shape
     flat = score.reshape(-1)
     k = min(capacity, flat.shape[0])
     if jax.default_backend() in ("tpu", "axon") and flat.shape[0] >= 4096:
-        vals, idx = lax.approx_max_k(flat, k, recall_target=0.95)
+        vals, idx = lax.approx_max_k(flat, k, recall_target=0.99)
     else:
         vals, idx = lax.top_k(flat, k)
     if vals.shape[0] < capacity:  # tiny octave: pad up to capacity

@@ -265,6 +265,12 @@ def ransac_fundamental(
     f_best = f_px[best]
     nrm = jnp.linalg.norm(f_best)
     f_best = f_best / jnp.where(nrm > 1e-12, nrm, 1.0)
+    # When every hypothesis was non-finite, score[best] is the -1 sentinel
+    # and the "model" is a denormalized identity: clamp the count to 0 and
+    # zero the inlier mask so downstream gating rejects everything.
+    any_ok = score[best] >= 0
     return RansacResult(
-        model=f_best, inliers=inl[best], n_inliers=score[best]
+        model=f_best,
+        inliers=inl[best] & any_ok,
+        n_inliers=jnp.maximum(score[best], 0),
     )

@@ -137,11 +137,15 @@ def init_two_view(
     m: SfmMap,
     pts_per_frame: int,
     max_reproj: float = 2.0,
-) -> SfmMap:
+) -> tuple[SfmMap, jax.Array]:
     """Bootstrap the map from frames 0/1: F -> E -> (R, t) -> triangulate.
 
     Writes cameras 0 and 1, point block 0, observation blocks 0 and 1.
     Keeps at most ``pts_per_frame`` best landmarks (static top-k).
+
+    Returns (map, used1): ``used1`` marks frame-1 keypoints consumed by
+    bootstrap landmarks, so frame 2 does not re-triangulate them as
+    duplicates (the mask threads through ``register_frame``).
     """
     match = match_descriptors(
         f0.descriptors, f1.descriptors,
@@ -175,7 +179,11 @@ def init_two_view(
     B = pts_per_frame
     obs = _write_obs_block(m.obs, 0 * B, 0, pt_idx, p0[keep], keep_ok)
     obs = _write_obs_block(obs, 1 * B, 1, pt_idx, p1[keep], keep_ok)
-    return m._replace(obs=obs)
+    k1 = f1.keypoints.valid.shape[0]
+    used1 = jnp.zeros(k1, bool).at[
+        jnp.where(keep_ok, match.idx2[keep], k1)
+    ].set(True, mode="drop")
+    return m._replace(obs=obs), used1
 
 
 # ---------------------------------------------------------------------------
@@ -236,11 +244,18 @@ def register_frame(
     prev_feats: Features,
     frame_i: int,
     K: jax.Array,
+    prev_used: jax.Array,
     pts_per_frame: int,
     max_reproj: float = 2.0,
-) -> SfmMap:
+) -> tuple[SfmMap, jax.Array]:
     """Register frame ``frame_i`` (>= 2): PnP against the map, then
     triangulate fresh landmarks against frame ``frame_i - 1``.
+
+    ``prev_used`` marks frame ``frame_i - 1`` keypoints already associated
+    with map landmarks (PnP inliers or new-landmark births) — those are
+    excluded from fresh triangulation so an existing landmark whose match
+    missed the PnP inlier set is not duplicated. Returns the map and this
+    frame's own used mask for the next call.
 
     Static block layout (B = pts_per_frame):
       * points block  [frame_i*B, (frame_i+1)*B)          — new landmarks
@@ -291,10 +306,12 @@ def register_frame(
     p_prev, p_cur, pair_ok = matched_points(
         prev_feats.keypoints, feats.keypoints, m2
     )
-    # Exclude keypoints already explained by the map (their match was used
-    # for PnP): a current keypoint used as an inlier PnP obs is not "new".
+    # Exclude keypoints already explained by the map: a current keypoint
+    # used as an inlier PnP obs is not "new", and a PREV-frame keypoint
+    # already associated with a landmark (prev_used) must not seed a
+    # duplicate — even when its map match missed this frame's PnP inliers.
     used = jnp.zeros(uv.shape[0], bool).at[keep].set(keep_ok)
-    fresh = pair_ok & ~used[m2.idx2]
+    fresh = pair_ok & ~used[m2.idx2] & ~prev_used
 
     prev_cam = Camera(m.rvecs[frame_i - 1], m.tvecs[frame_i - 1])
     P_prev = prev_cam.matrix(K)
@@ -326,7 +343,11 @@ def register_frame(
         obs, 3 * frame_i * B + 2 * B, frame_i - 1,
         pt_idx, p_prev[keep2], keep2_ok,
     )
-    return m._replace(obs=obs)
+    kc = uv.shape[0]
+    used_cur = used.at[
+        jnp.where(keep2_ok, m2.idx2[keep2], kc)
+    ].set(True, mode="drop")
+    return m._replace(obs=obs), used_cur
 
 
 # ---------------------------------------------------------------------------
@@ -362,13 +383,21 @@ def run_sfm(
     m = empty_map(n, pts_per_frame)
     keys = jax.random.split(key, n)
 
+    # Config fingerprint: refuses to resume a checkpoint written by a
+    # differently-configured run (ADVICE round 1 — shape coincidences can
+    # otherwise silently resume another sequence's map).
+    ckpt_meta = {
+        "n_frames": n,
+        "pts_per_frame": pts_per_frame,
+        "desc_capacity": int(features[0].descriptors.shape[0]),
+    }
     start_frame = 2
     if checkpoint_dir is not None:
         from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
 
         step = ckpt.latest_step(checkpoint_dir)
         if step is not None:
-            m, step = ckpt.load_pytree(checkpoint_dir, m)
+            m, step = ckpt.load_pytree(checkpoint_dir, m, meta=ckpt_meta)
             start_frame = step + 1
 
     # One executable per step kind: frame index and block offsets are
@@ -393,12 +422,16 @@ def run_sfm(
         )
     )
 
+    # Per-frame keypoint-used mask (duplicate-landmark suppression). After
+    # a checkpoint resume the previous frame's mask is unknown — start
+    # conservative (all-unused; at worst one frame may birth duplicates).
+    used = jnp.zeros(features[0].keypoints.valid.shape[0], bool)
     if start_frame == 2:
-        m = init_fn(keys[0], features[0], features[1], K, m)
+        m, used = init_fn(keys[0], features[0], features[1], K, m)
     for i in range(start_frame, n):
-        m = reg_fn(
+        m, used = reg_fn(
             keys[i], m, features[i], features[i - 1],
-            jnp.asarray(i, jnp.int32), K,
+            jnp.asarray(i, jnp.int32), K, used,
         )
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_mid(m.ba_state(), m.obs, K)
@@ -408,6 +441,6 @@ def run_sfm(
         ):
             from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
 
-            ckpt.save_pytree(checkpoint_dir, m, step=i)
+            ckpt.save_pytree(checkpoint_dir, m, step=i, meta=ckpt_meta)
     st = ba_final(m.ba_state(), m.obs, K)
     return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)

@@ -17,8 +17,21 @@ import jax
 import numpy as np
 
 
-def save_pytree(path: str | os.PathLike, tree: Any, step: int = 0) -> None:
-    """Atomically save a pytree of arrays + the step counter."""
+def save_pytree(
+    path: str | os.PathLike,
+    tree: Any,
+    step: int = 0,
+    meta: dict | None = None,
+) -> None:
+    """Atomically save a pytree of arrays + the step counter.
+
+    ``meta`` (a small JSON-able config fingerprint, e.g. sequence id and
+    capacities) is stored alongside; ``load_pytree`` verifies it so a
+    checkpoint directory reused across differently-configured runs fails
+    loudly instead of silently resuming the wrong sequence.
+    """
+    import json
+
     import orbax.checkpoint as ocp
 
     path = Path(path).resolve()
@@ -28,6 +41,8 @@ def save_pytree(path: str | os.PathLike, tree: Any, step: int = 0) -> None:
             {"tree": jax.tree.map(np.asarray, tree), "step": step},
             force=True,
         )
+    if meta is not None:
+        (path / f"step_{step}.meta.json").write_text(json.dumps(meta))
 
 
 def latest_step(path: str | os.PathLike) -> int | None:
@@ -43,8 +58,19 @@ def latest_step(path: str | os.PathLike) -> int | None:
     return max(steps) if steps else None
 
 
-def load_pytree(path: str | os.PathLike, like: Any, step: int | None = None):
-    """Restore (tree, step); ``like`` provides structure/shape/dtype."""
+def load_pytree(
+    path: str | os.PathLike,
+    like: Any,
+    step: int | None = None,
+    meta: dict | None = None,
+):
+    """Restore (tree, step); ``like`` provides structure/shape/dtype.
+
+    If ``meta`` is given it must match the fingerprint stored by
+    ``save_pytree`` (when one exists) — a mismatch raises ValueError.
+    """
+    import json
+
     import orbax.checkpoint as ocp
 
     path = Path(path).resolve()
@@ -52,6 +78,16 @@ def load_pytree(path: str | os.PathLike, like: Any, step: int | None = None):
         step = latest_step(path)
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
+    if meta is not None:
+        meta_path = path / f"step_{step}.meta.json"
+        if meta_path.exists():
+            saved = json.loads(meta_path.read_text())
+            if saved != meta:
+                raise ValueError(
+                    f"checkpoint fingerprint mismatch under {path}: "
+                    f"saved {saved} != requested {meta}; refusing to "
+                    "resume a differently-configured run"
+                )
     with ocp.StandardCheckpointer() as ckptr:
         target = {
             "tree": jax.tree.map(np.asarray, like),

@@ -42,7 +42,9 @@ def test_rendered_sequence_ate():
         [[-0.35 * i, 0.0, 0.04 * i] for i in range(n_frames)]
     ).astype(np.float32)
 
-    fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+    )
     feats = [
         fe(jnp.asarray(native.render_frame(size, gt_rvecs[i], gt_tvecs[i],
                                            focal, seed=0)))
@@ -78,7 +80,9 @@ def test_longer_sequence_drift_bounded():
         [[-0.22 * i, 0.01 * i, 0.03 * i] for i in range(n_frames)]
     ).astype(np.float32)
 
-    fe = jax.jit(lambda x: extract_features(x, cfg, 256))
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+    )
     feats = [
         fe(jnp.asarray(native.render_frame(size, gt_rvecs[i], gt_tvecs[i],
                                            focal, seed=3)))
@@ -90,6 +94,6 @@ def test_longer_sequence_drift_bounded():
     gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
     ate = float(ate_rmse(est, gt))
     span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
-    # Monocular odometry + BA without loop closure accumulates some
-    # drift; 6% of span over 12 frames is the current bound.
-    assert ate < 0.06 * span, f"ATE {ate} over span {span}"
+    # Dual-orientation features hold monocular drift under 5% of span
+    # (measured 2.7%) without loop closure.
+    assert ate < 0.05 * span, f"ATE {ate} over span {span}"
