@@ -105,6 +105,84 @@ def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
     return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
 
 
+def _rotation_point_jacobian(w: jax.Array, p: jax.Array, R: jax.Array):
+    """d(R(w) p)/dw, closed form (Gallego & Yezzi 2015, eq. 9), batched.
+
+    w: (M, 3) axis-angle; p: (M, 3) points; R: (M, 3, 3) = rodrigues(w).
+    Returns (M, 3, 3). As ||w|| -> 0 the formula's limit is -[p]x, which is
+    substituted explicitly below the epsilon (matches rodrigues()'s own
+    first-order branch, so it agrees with jacfwd everywhere).
+    """
+
+    def hat(v):
+        zero = jnp.zeros_like(v[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
+                jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
+                jnp.stack([-v[..., 1], v[..., 0], zero], -1),
+            ],
+            -2,
+        )
+
+    nsq = jnp.sum(w * w, axis=-1)                     # (M,)
+    px = hat(p)                                       # (M, 3, 3)
+    wx = hat(w)
+    eye = jnp.eye(3, dtype=w.dtype)
+    inner = (
+        w[:, :, None] * w[:, None, :]
+        + jnp.einsum("mji,mjk->mik", R, wx)           # R^T [w]x
+        - wx
+    )
+    d = -jnp.einsum(
+        "mij,mjk,mkl->mil", R, px, inner
+    ) / jnp.maximum(nsq, 1e-12)[:, None, None]
+    small = (nsq < 1e-12)[:, None, None]
+    return jnp.where(small, -px, d)
+
+
+def _analytic_jacobians(state: BAState, obs: Observations, K: jax.Array):
+    """Closed-form per-observation Jacobians (same contract as
+    ``_obs_jacobians`` but ~an order of magnitude fewer ops than the 9
+    jacfwd tangent passes — the BA linearization hot path).
+
+    Chain: r = pi(q) - uv with q = R p + t, so
+      d r / d t = A,  d r / d p = A R,  d r / d w = A * d(R p)/dw
+    with A = d pi / d q the (2, 3) pinhole Jacobian. Agreement with the
+    jacfwd path is tested to ~1e-4 (tests/test_geometry_ba.py).
+    """
+    from sift_parallel_optimization_tpu.models.geometry import rodrigues
+
+    rv = state.rvecs[obs.cam_idx]                     # (M, 3)
+    tv = state.tvecs[obs.cam_idx]
+    p = state.points[obs.pt_idx]
+    R = rodrigues(rv)                                 # (M, 3, 3)
+    q = jnp.einsum("mij,mj->mi", R, p) + tv
+    z = q[:, 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    fx, fy = K[0, 0], K[1, 1]
+    inv_z = 1.0 / zs
+    zero = jnp.zeros_like(z)
+    # A = d(pinhole uv)/d q, rows [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2].
+    a = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * q[:, 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * q[:, 1] * inv_z * inv_z], -1),
+        ],
+        -2,
+    )                                                 # (M, 2, 3)
+    jt = a
+    jp = jnp.einsum("mij,mjk->mik", a, R)             # (M, 2, 3)
+    dw = _rotation_point_jacobian(rv, p, R)           # (M, 3, 3)
+    jw = jnp.einsum("mij,mjk->mik", a, dw)            # (M, 2, 3)
+    jc = jnp.concatenate([jw, jt], axis=-1)           # (M, 2, 6)
+
+    uvp = q[:, :2] * inv_z[:, None] * jnp.stack([fx, fy]) + K[:2, 2]
+    r = uvp - obs.uv
+    w = obs.valid[:, None, None].astype(jnp.float32)
+    return jc * w, jp * w, jnp.where(obs.valid[:, None], r, 0.0)
+
+
 class NormalBlocks(NamedTuple):
     """Assembled normal-equation blocks (the distributable intermediate).
 
@@ -225,6 +303,240 @@ def solve_schur(
     return delta_c, delta_p
 
 
+# ---------------------------------------------------------------------------
+# Implicit-Schur CG (the scalable path: no dense (C, P, 6, 3) cross block)
+# ---------------------------------------------------------------------------
+
+
+class ImplicitBlocks(NamedTuple):
+    """Linearization in obs-sorted GROUPED form: O(M) memory, no O(C*P) W.
+
+    The Schur complement S = Hcc - W Hpp^-1 W^T is never materialized.
+    Observations are scattered ONCE per GN step into two padded groupings —
+    by point (P, R, ...) and by camera (C, Rc, ...) — so every CG matvec
+    is pure dense einsums + small-table gathers: zero segment_sums/scatters
+    inside the CG loop (TPU scatters are sort-based and dominated the
+    first implicit implementation, 769 ms vs the dense solver's 336 ms at
+    50x2000x100k on a v5e). This is what lets 200+-camera scenes run:
+    dense W is O(C*P*18) floats and the reduced-system einsum O(C^2*P)
+    flops, both of which this path eliminates.
+
+    Observations whose within-group rank exceeds R (or Rc) are dropped
+    from BOTH groupings (keeping W and W^T exact transposes, which CG
+    needs for a symmetric operator); size the capacities accordingly.
+    """
+
+    jc_p: jax.Array     # (P, R, 2, 6) point-grouped camera Jacobians
+    jp_p: jax.Array     # (P, R, 2, 3) point-grouped point Jacobians
+    cam_p: jax.Array    # (P, R) i32 camera index per slot (0 on padding)
+    jc_c: jax.Array     # (C, Rc, 2, 6) camera-grouped camera Jacobians
+    jp_c: jax.Array     # (C, Rc, 2, 3) camera-grouped point Jacobians
+    pt_c: jax.Array     # (C, Rc) i32 point index per slot (0 on padding)
+    hcc: jax.Array      # (C, 6, 6) DAMPED camera diagonal blocks
+    hpp_inv: jax.Array  # (P, 3, 3) inverse damped point diagonal blocks
+    bc: jax.Array       # (C, 6)
+    bp: jax.Array       # (P, 3)
+
+
+def _damp_blocks(h: jax.Array, damping: float) -> jax.Array:
+    """Marquardt-scaled damping (see solve_schur)."""
+    d = jnp.diagonal(h, axis1=-2, axis2=-1)
+    k = h.shape[-1]
+    return h + (damping * d + 1e-6)[..., None] * jnp.eye(k)
+
+
+def _linearize(
+    state: BAState,
+    obs: Observations,
+    K: jax.Array,
+    huber_delta: float | None,
+    fix_first_cam: bool,
+):
+    """Masked, robust-weighted, gauge-fixed per-obs Jacobians + residuals."""
+    jc, jp, r = _analytic_jacobians(state, obs, K)
+    if huber_delta is not None:
+        hw = jnp.sqrt(_huber_weights(r, huber_delta))[:, None, None]
+        jc = jc * hw
+        jp = jp * hw
+        r = r * hw[:, :, 0]
+    if fix_first_cam:
+        keep = (obs.cam_idx != 0)[:, None, None].astype(jc.dtype)
+        jc = jc * keep
+    return jc, jp, r
+
+
+def _group_rank(idx: jax.Array, n: int) -> jax.Array:
+    """(M,) group indices -> (M,) 0-based rank within each group."""
+    m = idx.shape[0]
+    order = jnp.argsort(idx)
+    sorted_idx = idx[order]
+    start = jnp.searchsorted(sorted_idx, jnp.arange(n, dtype=idx.dtype))
+    rank_sorted = jnp.arange(m, dtype=jnp.int32) - start[sorted_idx]
+    return jnp.zeros(m, jnp.int32).at[order].set(rank_sorted)
+
+
+def _scatter_grouped(values: jax.Array, flat_slot: jax.Array, n_slots: int):
+    """(M, ...) values -> (n_slots, ...) at flat_slot (out-of-range drops)."""
+    return (
+        jnp.zeros((n_slots,) + values.shape[1:], values.dtype)
+        .at[flat_slot]
+        .add(values, mode="drop")
+    )
+
+
+def _cg_capacities(n_obs: int, C: int, P: int,
+                   max_obs_per_point: int | None,
+                   max_obs_per_cam: int | None) -> tuple[int, int]:
+    """Static group capacities (R, Rc) with 2x-mean heuristics."""
+
+    def up8(v):
+        return max(8, (v + 7) // 8 * 8)
+
+    r = max_obs_per_point or min(up8(2 * -(-n_obs // P)), up8(n_obs))
+    rc = max_obs_per_cam or min(up8(2 * -(-n_obs // C)), up8(n_obs))
+    return r, rc
+
+
+@_f32_precision
+def assemble_implicit_blocks(
+    state: BAState,
+    obs: Observations,
+    K: jax.Array,
+    damping: float = 1e-3,
+    huber_delta: float | None = None,
+    fix_first_cam: bool = True,
+    max_obs_per_point: int | None = None,
+    max_obs_per_cam: int | None = None,
+) -> ImplicitBlocks:
+    """Linearize with analytic Jacobians; group by point AND by camera.
+
+    Group capacities default to 2x the mean occupancy (rounded up to 8);
+    observations overflowing EITHER capacity are dropped from both
+    groupings (symmetric W). Pass explicit capacities when the obs
+    distribution is skewed (e.g. SfM maps: a landmark can be observed by
+    every camera, so max_obs_per_point ~ C).
+    """
+    C = state.rvecs.shape[0]
+    P = state.points.shape[0]
+    M = obs.cam_idx.shape[0]
+    R, Rc = _cg_capacities(M, C, P, max_obs_per_point, max_obs_per_cam)
+    jc, jp, r = _linearize(state, obs, K, huber_delta, fix_first_cam)
+
+    # Invalid (padding) observations are routed to a virtual overflow
+    # group (index n) so they cannot eat a REAL group's rank capacity —
+    # SfM maps carry many padding slots whose idx fields are 0, which
+    # would otherwise exhaust group 0's R slots before real obs get one.
+    idx_p = jnp.where(obs.valid, obs.pt_idx, P)
+    idx_c = jnp.where(obs.valid, obs.cam_idx, C)
+    rank_p = _group_rank(idx_p, P)
+    rank_c = _group_rank(idx_c, C)
+    keep = (rank_p < R) & (rank_c < Rc) & obs.valid
+    jc = jc * keep[:, None, None]
+    jp = jp * keep[:, None, None]
+    r = r * keep[:, None]
+
+    slot_p = jnp.where(keep, obs.pt_idx * R + rank_p, P * R)
+    slot_c = jnp.where(keep, obs.cam_idx * Rc + rank_c, C * Rc)
+    jc_p = _scatter_grouped(jc, slot_p, P * R).reshape(P, R, 2, 6)
+    jp_p = _scatter_grouped(jp, slot_p, P * R).reshape(P, R, 2, 3)
+    cam_p = _scatter_grouped(
+        obs.cam_idx * keep, slot_p, P * R
+    ).reshape(P, R)
+    jc_c = _scatter_grouped(jc, slot_c, C * Rc).reshape(C, Rc, 2, 6)
+    jp_c = _scatter_grouped(jp, slot_c, C * Rc).reshape(C, Rc, 2, 3)
+    pt_c = _scatter_grouped(
+        obs.pt_idx * keep, slot_c, C * Rc
+    ).reshape(C, Rc)
+    r_p = _scatter_grouped(r, slot_p, P * R).reshape(P, R, 2)
+    r_c = _scatter_grouped(r, slot_c, C * Rc).reshape(C, Rc, 2)
+
+    hcc = jnp.einsum("crik,cril->ckl", jc_c, jc_c)
+    hpp = jnp.einsum("prik,pril->pkl", jp_p, jp_p)
+    bc = -jnp.einsum("crik,cri->ck", jc_c, r_c)
+    bp = -jnp.einsum("prik,pri->pk", jp_p, r_p)
+    hcc = _damp_blocks(hcc, damping)
+    if fix_first_cam:
+        # Row/col 0 of the reduced system is the identity (x0 stays 0):
+        # cam-0 Jacobians are zeroed above so W and bc rows are already 0.
+        hcc = hcc.at[0].set(jnp.eye(6))
+    hpp_inv = jnp.linalg.inv(_damp_blocks(hpp, damping))
+    return ImplicitBlocks(
+        jc_p=jc_p, jp_p=jp_p, cam_p=cam_p,
+        jc_c=jc_c, jp_c=jp_c, pt_c=pt_c,
+        hcc=hcc, hpp_inv=hpp_inv, bc=bc, bp=bp,
+    )
+
+
+def _wt_apply(blk: ImplicitBlocks, x: jax.Array) -> jax.Array:
+    """W^T x: (C, 6) camera vector -> (P, 3) point vector, dense over R."""
+    xg = x[blk.cam_p]                                       # (P, R, 6)
+    t = jnp.einsum("prik,prk->pri", blk.jc_p, xg)           # (P, R, 2)
+    return jnp.einsum("pril,pri->pl", blk.jp_p, t)          # (P, 3)
+
+
+def _w_apply(blk: ImplicitBlocks, y: jax.Array) -> jax.Array:
+    """W y: (P, 3) point vector -> (C, 6) camera vector, dense over Rc."""
+    yg = y[blk.pt_c]                                        # (C, Rc, 3)
+    t = jnp.einsum("cril,crl->cri", blk.jp_c, yg)           # (C, Rc, 2)
+    return jnp.einsum("crik,cri->ck", blk.jc_c, t)          # (C, 6)
+
+
+def schur_matvec(blk: ImplicitBlocks, x: jax.Array) -> jax.Array:
+    """S x = Hcc x - W Hpp^-1 W^T x without materializing S or W."""
+    v = _wt_apply(blk, x)                                  # (P, 3)
+    y = jnp.einsum("pkl,pl->pk", blk.hpp_inv, v)
+    return jnp.einsum("ckl,cl->ck", blk.hcc, x) - _w_apply(blk, y)
+
+
+@_f32_precision
+def solve_schur_cg(
+    blk: ImplicitBlocks,
+    cg_iters: int = 25,
+) -> tuple[jax.Array, jax.Array]:
+    """Preconditioned CG on the reduced camera system -> (delta_c, delta_p).
+
+    Block-Jacobi preconditioner (per-camera 6x6 inverse of the damped Hcc
+    diagonal). Fixed trip count keeps the whole solve jittable with static
+    shapes; 25 iterations reaches well below the GN linearization error
+    for the target scene sizes (tested vs the dense solver).
+    """
+    y0 = jnp.einsum("pkl,pl->pk", blk.hpp_inv, blk.bp)
+    b = blk.bc - _w_apply(blk, y0)                         # (C, 6)
+    minv = jnp.linalg.inv(blk.hcc)                         # block Jacobi
+
+    def prec(v):
+        return jnp.einsum("ckl,cl->ck", minv, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = prec(r)
+    p = z
+    rz = dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = schur_matvec(blk, p)
+        pap = dot(p, ap)
+        alpha = jnp.where(pap > 1e-20, rz / jnp.maximum(pap, 1e-20), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 1e-20, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, p, rz = lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+    delta_c = x
+    # Landmark back-substitution: delta_p = Hpp^-1 (bp - W^T delta_c).
+    v = _wt_apply(blk, delta_c)
+    delta_p = jnp.einsum("pkl,pl->pk", blk.hpp_inv, blk.bp - v)
+    return delta_c, delta_p
+
+
 def apply_deltas(
     state: BAState, delta_c: jax.Array, delta_p: jax.Array
 ) -> BAState:
@@ -242,14 +554,30 @@ def ba_step(
     damping: float = 1e-3,
     huber_delta: float | None = None,
     fix_first_cam: bool = True,
+    solver: str = "dense",
+    cg_iters: int = 25,
 ) -> BAState:
-    """One damped Gauss-Newton step with Schur-complement elimination."""
-    blocks = assemble_normal_blocks(
-        state, obs, K, huber_delta=huber_delta, fix_first_cam=fix_first_cam
-    )
-    delta_c, delta_p = solve_schur(
-        blocks, damping=damping, fix_first_cam=fix_first_cam
-    )
+    """One damped Gauss-Newton step with Schur-complement elimination.
+
+    ``solver``: "dense" materializes W and solves the (6C, 6C) reduced
+    system exactly (best for small scenes, bit-stable); "cg" runs the
+    implicit-Schur preconditioned CG (O(M) memory, scales to hundreds of
+    cameras — see ImplicitBlocks).
+    """
+    if solver == "cg":
+        blk = assemble_implicit_blocks(
+            state, obs, K, damping=damping,
+            huber_delta=huber_delta, fix_first_cam=fix_first_cam,
+        )
+        delta_c, delta_p = solve_schur_cg(blk, cg_iters=cg_iters)
+    else:
+        blocks = assemble_normal_blocks(
+            state, obs, K,
+            huber_delta=huber_delta, fix_first_cam=fix_first_cam,
+        )
+        delta_c, delta_p = solve_schur(
+            blocks, damping=damping, fix_first_cam=fix_first_cam
+        )
     return apply_deltas(state, delta_c, delta_p)
 
 
@@ -261,6 +589,8 @@ def bundle_adjust(
     damping: float = 1e-3,
     huber_delta: float | None = None,
     fix_first_cam: bool = True,
+    solver: str = "dense",
+    cg_iters: int = 25,
 ) -> BAState:
     """Run ``n_iters`` damped Gauss-Newton steps (static trip count)."""
 
@@ -270,6 +600,8 @@ def bundle_adjust(
             damping=damping,
             huber_delta=huber_delta,
             fix_first_cam=fix_first_cam,
+            solver=solver,
+            cg_iters=cg_iters,
         )
 
     return lax.fori_loop(0, n_iters, body, state)

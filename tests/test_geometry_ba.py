@@ -185,3 +185,100 @@ class TestBundleAdjustment:
         fn = jax.jit(lambda s: bundle_adjust(s, obs, K, n_iters=2))
         out = fn(gt)
         assert float(rms_error(out, obs, K)) < 0.1
+
+
+class TestImplicitSchurCG:
+    """The scalable BA path: analytic Jacobians + implicit-Schur CG."""
+
+    def test_analytic_jacobians_match_jacfwd(self, rng):
+        from sift_parallel_optimization_tpu.models.ba import (
+            _analytic_jacobians,
+            _obs_jacobians,
+        )
+
+        gt, obs = _ba_scene(rng, n_cams=5, n_pts=40)
+        # Hit the small-angle branch too.
+        gt = gt._replace(rvecs=gt.rvecs.at[0].set(0.0))
+        obs = obs._replace(valid=obs.valid.at[::7].set(False))
+        jc1, jp1, r1 = _obs_jacobians(gt, obs, K)
+        jc2, jp2, r2 = _analytic_jacobians(gt, obs, K)
+        for a, b in ((jc1, jc2), (jp1, jp2), (r1, r2)):
+            scale = float(jnp.max(jnp.abs(a))) + 1.0
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
+
+    def test_cg_matches_dense_solver(self, rng):
+        gt, obs = _ba_scene(rng)
+        noisy = BAState(
+            rvecs=gt.rvecs
+            + 0.01 * rng.normal(size=gt.rvecs.shape).astype(np.float32),
+            tvecs=gt.tvecs
+            + 0.03 * rng.normal(size=gt.tvecs.shape).astype(np.float32),
+            points=gt.points
+            + 0.05 * rng.normal(size=gt.points.shape).astype(np.float32),
+        )
+        dense = bundle_adjust(noisy, obs, K, n_iters=10, damping=1e-4)
+        cg = bundle_adjust(
+            noisy, obs, K, n_iters=10, damping=1e-4, solver="cg"
+        )
+        e_dense = float(rms_error(dense, obs, K))
+        e_cg = float(rms_error(cg, obs, K))
+        assert e_cg < max(2.0 * e_dense, 0.01), (e_dense, e_cg)
+
+    def test_cg_huber_survives_outliers(self, rng):
+        gt, obs = _ba_scene(rng)
+        obs_bad = obs._replace(uv=obs.uv.at[::17].add(60.0))
+        noisy = BAState(
+            rvecs=gt.rvecs
+            + 0.005 * rng.normal(size=gt.rvecs.shape).astype(np.float32),
+            tvecs=gt.tvecs
+            + 0.02 * rng.normal(size=gt.tvecs.shape).astype(np.float32),
+            points=gt.points
+            + 0.03 * rng.normal(size=gt.points.shape).astype(np.float32),
+        )
+        out = bundle_adjust(
+            noisy, obs_bad, K, n_iters=15, damping=1e-4,
+            huber_delta=2.0, solver="cg",
+        )
+        assert float(rms_error(out, obs, K)) < 1.0
+
+    def test_large_scene_runs_without_dense_cross_block(self, rng):
+        """200 cams x 4000 pts: dense W would be 200*4000*18 floats; the
+        implicit path runs it in O(M) memory."""
+        n_cams, n_pts, n_obs = 200, 4000, 40_000
+        pts = jnp.asarray(
+            (rng.normal(0, 1.0, (n_pts, 3)) + [0, 0, 8]).astype(np.float32)
+        )
+        rvecs = jnp.asarray(
+            [[0.0, 0.005 * (i - n_cams / 2), 0.0] for i in range(n_cams)],
+            jnp.float32,
+        )
+        tvecs = jnp.asarray(
+            [[0.05 * (i - n_cams / 2), 0.0, 0.0] for i in range(n_cams)],
+            jnp.float32,
+        )
+        cam_idx = jnp.asarray(
+            rng.integers(0, n_cams, n_obs).astype(np.int32)
+        )
+        pt_idx = jnp.asarray(rng.integers(0, n_pts, n_obs).astype(np.int32))
+        uv = jax.vmap(
+            lambda c, p: project(pts[p][None], rvecs[c], tvecs[c], K)[0][0]
+        )(cam_idx, pt_idx)
+        obs = Observations(
+            cam_idx=cam_idx, pt_idx=pt_idx, uv=uv,
+            valid=jnp.ones(n_obs, bool),
+        )
+        gt = BAState(rvecs=rvecs, tvecs=tvecs, points=pts)
+        noisy = BAState(
+            rvecs=gt.rvecs
+            + 0.002 * rng.normal(size=gt.rvecs.shape).astype(np.float32),
+            tvecs=gt.tvecs
+            + 0.01 * rng.normal(size=gt.tvecs.shape).astype(np.float32),
+            points=gt.points
+            + 0.02 * rng.normal(size=gt.points.shape).astype(np.float32),
+        )
+        e0 = float(rms_error(noisy, obs, K))
+        out = bundle_adjust(
+            noisy, obs, K, n_iters=4, damping=1e-4, solver="cg"
+        )
+        e1 = float(rms_error(out, obs, K))
+        assert e1 < 0.2 * e0, (e0, e1)

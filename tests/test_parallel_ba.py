@@ -98,3 +98,39 @@ def test_distributed_converges_under_jit(rng):
     )
     out = fn(noisy, obs)
     assert float(rms_error(out, obs, K)) < 0.05
+
+
+def test_distributed_cg_matches_single_device(rng):
+    """Implicit-Schur CG sharded step == single-device CG (and both reach
+    the dense solver's fixed point) — no dense W is formed anywhere."""
+    gt, obs = _ba_scene(rng, n_cams=6, n_pts=48)
+    noisy = _perturb(rng, gt)
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    single = bundle_adjust(
+        noisy, obs, K, n_iters=6, damping=1e-4, solver="cg"
+    )
+    dist = jax.jit(
+        lambda s, o: distributed_bundle_adjust(
+            s, o, K, mesh, n_iters=6, damping=1e-4, solver="cg"
+        )
+    )(noisy, obs)
+    np.testing.assert_allclose(
+        np.asarray(dist.points), np.asarray(single.points), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.tvecs), np.asarray(single.tvecs), atol=5e-3
+    )
+    assert float(rms_error(dist, obs, K)) < 0.05
+
+
+def test_distributed_cg_point_padding(rng):
+    """Point count NOT divisible by the mesh axis still shards correctly."""
+    gt, obs = _ba_scene(rng, n_cams=5, n_pts=37)  # 37 % 8 != 0
+    noisy = _perturb(rng, gt)
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    out = jax.jit(
+        lambda s, o: distributed_bundle_adjust(
+            s, o, K, mesh, n_iters=6, damping=1e-4, solver="cg"
+        )
+    )(noisy, obs)
+    assert float(rms_error(out, obs, K)) < 0.05
