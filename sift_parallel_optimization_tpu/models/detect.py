@@ -98,10 +98,19 @@ def detect_octave(
     capacity: int,
     contrast_threshold: float = CONTRAST_THRESHOLD,
     edge_ratio: float = EDGE_RATIO,
+    refine_iters: int = 2,
 ) -> Keypoints:
     """(S+2, H, W) DoG stack of one octave -> Keypoints with ``capacity`` slots.
 
     Coordinates/sigma are returned in ORIGINAL image units (scaled by 2^octave).
+
+    ``refine_iters`` > 0 enables iterative subpixel refinement (Brown &
+    Lowe / OpenCV): a candidate whose quadratic fit lands further than
+    MAX_REFINE_OFFSET from its voxel is re-fit at the neighbor voxel the
+    fit points to, up to ``refine_iters`` hops — recovering the ~7% of
+    true keypoints the single-shot offset gate rejects. The hops are
+    SPARSE (flat gathers on the already-dense offset fields for just the
+    top-k candidates), so the dense stencil work is unchanged.
     """
     dog = dog.astype(jnp.float32)
     is_max, is_min = _window_extrema(dog)
@@ -129,13 +138,25 @@ def detect_octave(
     # Lowe/OpenCV convention: the usable threshold scales with the number
     # of intervals (DoG plane spacing shrinks as S grows).
     thr = contrast_threshold / cfg.S
-    good = (
-        (is_max | is_min)
-        & (jnp.abs(d_hat) > thr)
-        & edge_ok
-        & off_ok
-    )
-    score = jnp.where(good, jnp.abs(d_hat), 0.0)
+    if refine_iters:
+        # Rank WITHOUT the offset gate (failed fits get a chance to hop to
+        # the right voxel); contrast for ranking uses offsets clamped to
+        # the trust region so a near-singular Hessian cannot inflate it.
+        d_rank = c + 0.5 * (
+            gs * jnp.clip(off_s, -MAX_REFINE_OFFSET, MAX_REFINE_OFFSET)
+            + gy * jnp.clip(off_y, -MAX_REFINE_OFFSET, MAX_REFINE_OFFSET)
+            + gx * jnp.clip(off_x, -MAX_REFINE_OFFSET, MAX_REFINE_OFFSET)
+        )
+        good = (is_max | is_min) & (jnp.abs(d_rank) > thr) & edge_ok
+        score = jnp.where(good, jnp.abs(d_rank), 0.0)
+    else:
+        good = (
+            (is_max | is_min)
+            & (jnp.abs(d_hat) > thr)
+            & edge_ok
+            & off_ok
+        )
+        score = jnp.where(good, jnp.abs(d_hat), 0.0)
 
     # Static-shape extraction: top-k over the flattened interior. On TPU,
     # approx_max_k (tiled two-stage reduction) is ~200x faster than the
@@ -157,9 +178,40 @@ def detect_octave(
     s_i = idx // (hs * ws)
     y_i = (idx // ws) % hs
     x_i = idx % ws
-    take = lambda a: a.reshape(-1)[idx]
-    fs, fy, fx = take(off_s), take(off_y), take(off_x)
-    valid = vals > 0
+    if refine_iters:
+        # Sparse neighbor-hop refinement on the K candidates: gather the
+        # (already computed) dense quadratic fit at each candidate's voxel,
+        # hop one voxel toward the fit when it escapes the trust region,
+        # re-gather, repeat. Pure flat takes — K is tiny.
+        offs = jnp.stack(
+            [off_s.reshape(-1), off_y.reshape(-1), off_x.reshape(-1)]
+        )                                             # (3, V)
+        pos = jnp.stack([s_i, y_i, x_i])              # (3, K)
+        lims = jnp.array([ds - 1, hs - 1, ws - 1], jnp.int32)[:, None]
+        for _ in range(refine_iters):
+            flat = (pos[0] * hs + pos[1]) * ws + pos[2]
+            o = offs[:, flat]                         # (3, K)
+            conv = jnp.all(jnp.abs(o) <= MAX_REFINE_OFFSET, axis=0)
+            shift = jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32)
+            pos = jnp.where(
+                conv[None, :], pos, jnp.clip(pos + shift, 0, lims)
+            )
+        flat = (pos[0] * hs + pos[1]) * ws + pos[2]
+        fs, fy, fx = offs[0, flat], offs[1, flat], offs[2, flat]
+        s_i, y_i, x_i = pos[0], pos[1], pos[2]
+        d_f = jnp.abs(d_hat.reshape(-1)[flat])
+        edge_f = edge_ok.reshape(-1)[flat]
+        off_ok_f = (
+            (jnp.abs(fs) < MAX_REFINE_OFFSET)
+            & (jnp.abs(fy) < MAX_REFINE_OFFSET)
+            & (jnp.abs(fx) < MAX_REFINE_OFFSET)
+        )
+        valid = (vals > 0) & off_ok_f & (d_f > thr) & edge_f
+        vals = jnp.where(valid, d_f, 0.0)
+    else:
+        take = lambda a: a.reshape(-1)[idx]
+        fs, fy, fx = take(off_s), take(off_y), take(off_x)
+        valid = vals > 0
 
     # +1: interior offset from the VALID window; coords in octave pixels.
     x_o = x_i.astype(jnp.float32) + 1.0 + fx
