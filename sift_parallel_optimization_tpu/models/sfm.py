@@ -79,13 +79,17 @@ def _empty_obs(capacity: int) -> Observations:
     )
 
 
-def empty_map(n_cams: int, pts_per_frame: int) -> SfmMap:
-    """Capacities: P = n_cams * pts_per_frame, M = 3 * P (each point gets
-    up to one obs at birth in two frames + one PnP obs per later frame,
-    amortized to 3 blocks per frame — see block layout in the writers)."""
+def empty_map(
+    n_cams: int, pts_per_frame: int, max_loops: int = 8
+) -> SfmMap:
+    """Capacities: P = n_cams * pts_per_frame, M = 3 * P + max_loops * B
+    (each point gets up to one obs at birth in two frames + one PnP obs
+    per later frame, amortized to 3 blocks per frame — see block layout in
+    the writers; accepted loop closures append up to ``max_loops`` extra
+    blocks of 2D-3D re-observations of old landmarks)."""
     C = n_cams
     P = n_cams * pts_per_frame
-    M = 3 * P
+    M = 3 * P + max_loops * pts_per_frame
     return SfmMap(
         rvecs=jnp.zeros((C, 3), jnp.float32),
         tvecs=jnp.zeros((C, 3), jnp.float32),
@@ -247,6 +251,7 @@ def register_frame(
     prev_used: jax.Array,
     pts_per_frame: int,
     max_reproj: float = 2.0,
+    local_window: int | None = None,
 ) -> tuple[SfmMap, jax.Array]:
     """Register frame ``frame_i`` (>= 2): PnP against the map, then
     triangulate fresh landmarks against frame ``frame_i - 1``.
@@ -256,6 +261,11 @@ def register_frame(
     excluded from fresh triangulation so an existing landmark whose match
     missed the PnP inlier set is not duplicated. Returns the map and this
     frame's own used mask for the next call.
+
+    ``local_window`` restricts PnP matching to landmarks born within the
+    last ``local_window`` frames (local-map odometry — O(window) matching
+    for long sequences; pair it with loop closure to re-associate against
+    the old map, models/loop_closure.py). None = global matching.
 
     Static block layout (B = pts_per_frame):
       * points block  [frame_i*B, (frame_i+1)*B)          — new landmarks
@@ -267,12 +277,18 @@ def register_frame(
     k_pnp, k_tri = jax.random.split(key)
 
     # --- 2D-3D: match this frame's descriptors against landmark descriptors.
+    pt_bank = m.pt_valid
+    if local_window is not None:
+        birth = jnp.arange(m.points.shape[0], dtype=jnp.int32) // B
+        pt_bank = pt_bank & (
+            birth >= jnp.asarray(frame_i, jnp.int32) - local_window
+        )
     m3 = match_descriptors(
-        feats.descriptors, m.pt_desc, feats.keypoints.valid, m.pt_valid
+        feats.descriptors, m.pt_desc, feats.keypoints.valid, pt_bank
     )
     uv = jnp.stack([feats.keypoints.x, feats.keypoints.y], -1)   # (K, 2)
     pts3d = m.points[m3.idx2]
-    mask3 = m3.valid & m.pt_valid[m3.idx2]
+    mask3 = m3.valid & pt_bank[m3.idx2]
     cam, inl, _n = ransac_pnp(k_pnp, pts3d, uv, mask3, K)
 
     m = m._replace(
@@ -366,6 +382,13 @@ def run_sfm(
     huber_delta: float | None = 2.0,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    loop_closure: bool = True,
+    loop_min_gap: int = 5,
+    loop_min_inliers: int = 30,
+    loop_weight: float = 4.0,
+    max_loops: int = 8,
+    pgo_mesh=None,
+    local_window: int | None = None,
 ) -> SfmMap:
     """Full incremental pipeline over a list of per-frame features.
 
@@ -376,12 +399,25 @@ def run_sfm(
     ``checkpoint_every`` frames and the run RESUMES from the latest
     checkpoint if one exists — restartable steps for long sequences
     (the failure-recovery subsystem, utils/checkpoint.py).
+
+    With ``loop_closure`` (default), every frame past ``loop_min_gap + 2``
+    is PnP-matched against landmarks born >= ``loop_min_gap`` frames
+    earlier (models/loop_closure.py); accepted constraints feed a
+    pose-graph optimization + landmark re-anchoring before the final BA.
+    ``pgo_mesh`` routes the PGO through the edge-sharded distributed
+    solver (parallel/pose_graph.distributed_pgo).
+
+    ``local_window`` switches registration to local-map odometry (PnP
+    only against landmarks born within the window — O(window) matching
+    for long sequences); loop closure then carries the burden of
+    re-associating revisited places against the old map.
     """
     import functools
 
     n = len(features)
-    m = empty_map(n, pts_per_frame)
+    m = empty_map(n, pts_per_frame, max_loops=max_loops)
     keys = jax.random.split(key, n)
+    loop_keys = jax.random.split(jax.random.fold_in(key, 7), n)
 
     # Config fingerprint: refuses to resume a checkpoint written by a
     # differently-configured run (ADVICE round 1 — shape coincidences can
@@ -406,7 +442,11 @@ def run_sfm(
         functools.partial(init_two_view, pts_per_frame=pts_per_frame)
     )
     reg_fn = jax.jit(
-        functools.partial(register_frame, pts_per_frame=pts_per_frame)
+        functools.partial(
+            register_frame,
+            pts_per_frame=pts_per_frame,
+            local_window=local_window,
+        )
     )
     ba_mid = jax.jit(
         functools.partial(
@@ -422,6 +462,28 @@ def run_sfm(
         )
     )
 
+    if loop_closure:
+        from sift_parallel_optimization_tpu.models.loop_closure import (
+            close_loops,
+            propose_loop_closure,
+            write_loop_observations,
+        )
+
+        loop_fn = jax.jit(
+            functools.partial(
+                propose_loop_closure,
+                pts_per_frame=pts_per_frame,
+                min_gap=loop_min_gap,
+            )
+        )
+        loop_write_fn = jax.jit(
+            functools.partial(
+                write_loop_observations, pts_per_frame=pts_per_frame
+            )
+        )
+    loop_frames: list[int] = []
+    loop_poses: list[Camera] = []
+
     # Per-frame keypoint-used mask (duplicate-landmark suppression). After
     # a checkpoint resume the previous frame's mask is unknown — start
     # conservative (all-unused; at worst one frame may birth duplicates).
@@ -433,6 +495,20 @@ def run_sfm(
             keys[i], m, features[i], features[i - 1],
             jnp.asarray(i, jnp.int32), K, used,
         )
+        if loop_closure and i >= loop_min_gap + 2:
+            prop = loop_fn(
+                loop_keys[i], features[i], m, jnp.asarray(i, jnp.int32), K
+            )
+            if (
+                int(prop.n_inliers) >= loop_min_inliers
+                and len(loop_frames) < max_loops
+            ):
+                m = loop_write_fn(
+                    m, prop, jnp.asarray(i, jnp.int32),
+                    jnp.asarray(len(loop_frames), jnp.int32),
+                )
+                loop_frames.append(i)
+                loop_poses.append(Camera(rvec=prop.rvec, tvec=prop.tvec))
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_mid(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
@@ -442,5 +518,10 @@ def run_sfm(
             from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
 
             ckpt.save_pytree(checkpoint_dir, m, step=i, meta=ckpt_meta)
+    if loop_closure and loop_frames:
+        m = close_loops(
+            m, n, loop_frames, loop_poses, pts_per_frame,
+            loop_weight=loop_weight, mesh=pgo_mesh,
+        )
     st = ba_final(m.ba_state(), m.obs, K)
     return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
