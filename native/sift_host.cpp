@@ -9,6 +9,9 @@
 // native. This library provides:
 //
 //   * PGM (P5/P2) image read/write — zero-dependency grayscale I/O.
+//   * PPM (P6/P3) and PNG read (system libpng), Rec.601 luma to grayscale
+//     — real-dataset sequences (TUM/KITTI-style directories) decode
+//     through the same native path as the synthetic benchmarks.
 //   * Deterministic synthetic frame generation (blob field + value noise),
 //     the test/bench workload generator (replaces the reference's constant
 //     image, which SURVEY.md section 4 flags as hiding real bugs).
@@ -32,6 +35,8 @@
 #include <thread>
 #include <vector>
 #include <chrono>
+
+#include <png.h>
 
 namespace {
 
@@ -201,6 +206,116 @@ int sift_write_pgm(const char* path, const float* img, int w, int h) {
         std::fwrite(row.data(), 1, w, f);
     }
     std::fclose(f);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PPM / PNG decode (grayscale via Rec.601 luma)
+// ---------------------------------------------------------------------------
+
+// Reads a P6/P3 PPM, converting RGB -> luma. Same contract as
+// sift_read_pgm. Returns 0 on success.
+int sift_read_ppm(const char* path, float* out, int* w, int* h,
+                  long max_pixels) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    char magic[3] = {0};
+    if (std::fscanf(f, "%2s", magic) != 1) { std::fclose(f); return -2; }
+    bool binary = std::strcmp(magic, "P6") == 0;
+    if (!binary && std::strcmp(magic, "P3") != 0) { std::fclose(f); return -3; }
+    int vals[3], got = 0;
+    while (got < 3) {
+        int c = std::fgetc(f);
+        if (c == '#') { while (c != '\n' && c != EOF) c = std::fgetc(f); }
+        else if (c == EOF) { std::fclose(f); return -4; }
+        else if (!std::isspace(c)) {
+            std::ungetc(c, f);
+            if (std::fscanf(f, "%d", &vals[got]) != 1) { std::fclose(f); return -4; }
+            got++;
+        }
+    }
+    int W = vals[0], H = vals[1], maxv = vals[2];
+    if ((long)W * H > max_pixels || maxv <= 0) { std::fclose(f); return -5; }
+    float inv = 1.0f / maxv;
+    const float wr = 0.299f, wg = 0.587f, wb = 0.114f;
+    if (binary) {
+        std::fgetc(f);
+        int bpp = maxv < 256 ? 3 : 6;
+        std::vector<uint8_t> row((size_t)bpp * W);
+        for (int y = 0; y < H; y++) {
+            if (std::fread(row.data(), 1, (size_t)bpp * W, f)
+                != (size_t)bpp * W) { std::fclose(f); return -6; }
+            for (int x = 0; x < W; x++) {
+                float r, g, b;
+                if (bpp == 3) {
+                    r = row[3 * x]; g = row[3 * x + 1]; b = row[3 * x + 2];
+                } else {
+                    r = (row[6 * x] << 8) | row[6 * x + 1];
+                    g = (row[6 * x + 2] << 8) | row[6 * x + 3];
+                    b = (row[6 * x + 4] << 8) | row[6 * x + 5];
+                }
+                out[y * W + x] = (wr * r + wg * g + wb * b) * inv;
+            }
+        }
+    } else {
+        for (long i = 0; i < (long)W * H; i++) {
+            int r, g, b;
+            if (std::fscanf(f, "%d %d %d", &r, &g, &b) != 3) {
+                std::fclose(f); return -6;
+            }
+            out[i] = (wr * r + wg * g + wb * b) * inv;
+        }
+    }
+    std::fclose(f);
+    *w = W;
+    *h = H;
+    return 0;
+}
+
+// Reads any PNG (gray/RGB/RGBA, 8/16-bit) as 8-bit grayscale via libpng's
+// simplified API (libpng handles the colortype conversion). Returns 0 on
+// success.
+int sift_read_png(const char* path, float* out, int* w, int* h,
+                  long max_pixels) {
+    png_image image;
+    std::memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_file(&image, path)) return -1;
+    image.format = PNG_FORMAT_GRAY;
+    if ((long)image.width * image.height > max_pixels) {
+        png_image_free(&image);
+        return -5;
+    }
+    std::vector<uint8_t> buf(PNG_IMAGE_SIZE(image));
+    if (!png_image_finish_read(&image, nullptr, buf.data(), 0, nullptr)) {
+        png_image_free(&image);
+        return -6;
+    }
+    const float inv = 1.0f / 255.0f;
+    long n = (long)image.width * image.height;
+    for (long i = 0; i < n; i++) out[i] = buf[i] * inv;
+    *w = (int)image.width;
+    *h = (int)image.height;
+    return 0;
+}
+
+// Writes an 8-bit grayscale PNG from [0,1] floats. Returns 0 on success.
+int sift_write_png(const char* path, const float* img, int w, int h) {
+    std::vector<uint8_t> buf((size_t)w * h);
+    for (long i = 0; i < (long)w * h; i++) {
+        float v = img[i];
+        if (v < 0) v = 0;
+        if (v > 1) v = 1;
+        buf[i] = (uint8_t)(v * 255.0f + 0.5f);
+    }
+    png_image image;
+    std::memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    image.width = (png_uint_32)w;
+    image.height = (png_uint_32)h;
+    image.format = PNG_FORMAT_GRAY;
+    if (!png_image_write_to_file(&image, path, 0, buf.data(), 0, nullptr))
+        return -1;
     return 0;
 }
 

@@ -131,15 +131,20 @@ def _cmd_sfm(args) -> int:
     )
 
     if args.image_dir:
-        # Real-data mode: a directory of PGM frames (sorted by name).
+        # Real-data mode: a directory of PGM/PPM/PNG frames (sorted by
+        # name; TUM-style sequences name frames by timestamp so sorting
+        # IS temporal order).
         import pathlib
 
-        paths = sorted(pathlib.Path(args.image_dir).glob("*.pgm"))
+        root = pathlib.Path(args.image_dir)
+        paths = sorted(
+            p for ext in ("*.pgm", "*.ppm", "*.png") for p in root.glob(ext)
+        )
         if len(paths) < 2:
-            print(f"need >= 2 .pgm frames in {args.image_dir}")
+            print(f"need >= 2 .pgm/.ppm/.png frames in {args.image_dir}")
             return 1
         paths = paths[: args.frames] if args.frames else paths
-        raw = [native.read_pgm(p) for p in paths]
+        raw = [native.imread(p) for p in paths]
         # Center-crop every frame to the GLOBAL min side so the optical
         # center stays at K's assumed principal point (size/2, size/2).
         side = min(min(im.shape) for im in raw)
@@ -166,6 +171,32 @@ def _cmd_sfm(args) -> int:
               f"{float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
         c = np.asarray(m.tvecs)[np.asarray(m.cam_valid)]
         print(f"trajectory extent: {np.ptp(c, axis=0).round(3).tolist()}")
+        if args.groundtruth:
+            # TUM-format gate: associate frames (named by timestamp) with
+            # ground-truth poses, Sim(3)-align, report ATE.
+            from sift_parallel_optimization_tpu.utils.trajectory import (
+                associate,
+                load_tum,
+            )
+
+            gt_ts, gt_centers, _ = load_tum(args.groundtruth)
+            frame_ts = []
+            for i, p in enumerate(paths):
+                try:
+                    frame_ts.append(float(p.stem))
+                except ValueError:
+                    frame_ts.append(float(i))
+            ia, ib = associate(frame_ts, gt_ts, max_dt=args.max_dt)
+            if len(ia) < 3:
+                print(f"only {len(ia)} frame<->gt associations; no ATE")
+                return 1
+            est = np.asarray(camera_centers(m.rvecs, m.tvecs))[ia]
+            gt = gt_centers[ib]
+            ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+            span = float(np.linalg.norm(np.ptp(gt, axis=0)))
+            print(f"ATE vs {args.groundtruth} over {len(ia)} poses: "
+                  f"{ate:.4f} ({100 * ate / max(span, 1e-9):.2f}% of "
+                  f"span {span:.3f})")
         return 0
 
     size = args.size
@@ -284,6 +315,10 @@ def main(argv=None) -> int:
                    help="directory of .pgm frames (real-data mode)")
     s.add_argument("--focal", type=float, default=None,
                    help="focal length in px (default: image side)")
+    s.add_argument("--groundtruth", default=None,
+                   help="TUM-format trajectory file to gate ATE against")
+    s.add_argument("--max-dt", type=float, default=0.02,
+                   help="max timestamp gap for frame<->gt association (s)")
     s.set_defaults(fn=_cmd_sfm)
 
     st = sub.add_parser("stream", help="continuous frontend serving loop")

@@ -53,6 +53,12 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int,
         ]
+        for name in ("sift_read_ppm", "sift_read_png"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = list(lib.sift_read_pgm.argtypes)
+        lib.sift_write_png.restype = ctypes.c_int
+        lib.sift_write_png.argtypes = list(lib.sift_write_pgm.argtypes)
         lib.sift_synth_frame.restype = None
         lib.sift_synth_frame.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -157,6 +163,110 @@ def write_pgm(path: str | os.PathLike, img: np.ndarray) -> None:
     )
     if rc != 0:
         raise IOError(f"sift_write_pgm({path}) failed with code {rc}")
+
+
+# ---------------------------------------------------------------------------
+# PPM / PNG + generic image read
+# ---------------------------------------------------------------------------
+
+
+def _pnm_dims(path, magics: tuple[bytes, ...]) -> tuple[int, int]:
+    """Parse (w, h) from a PNM header without reading pixel data."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    tokens = []
+    i = 0
+    while i < len(head) and len(tokens) < 3:
+        if head[i : i + 1] == b"#":
+            while i < len(head) and head[i] not in b"\n":
+                i += 1
+        elif head[i : i + 1].isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(head) and not head[j : j + 1].isspace():
+                j += 1
+            tokens.append(head[i:j])
+            i = j
+    if len(tokens) < 3 or tokens[0] not in magics:
+        raise IOError(f"{path}: not a {magics} header")
+    return int(tokens[1]), int(tokens[2])
+
+
+def _png_dims(path) -> tuple[int, int]:
+    """Parse (w, h) from the PNG IHDR chunk."""
+    with open(path, "rb") as f:
+        head = f.read(33)
+    if len(head) < 24 or head[:8] != b"\x89PNG\r\n\x1a\n":
+        raise IOError(f"{path}: not a PNG")
+    w = int.from_bytes(head[16:20], "big")
+    h = int.from_bytes(head[20:24], "big")
+    return w, h
+
+
+def _read_via(fn_name, path, w0: int, h0: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    buf = np.empty(w0 * h0, np.float32)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = getattr(lib, fn_name)(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(w), ctypes.byref(h),
+        ctypes.c_long(w0 * h0),
+    )
+    if rc != 0:
+        raise IOError(f"{fn_name}({path}) failed with code {rc}")
+    return buf[: w.value * h.value].reshape(h.value, w.value)
+
+
+def read_ppm(path: str | os.PathLike) -> np.ndarray:
+    """Read a P6/P3 PPM as (H, W) float32 grayscale (Rec.601 luma)."""
+    w0, h0 = _pnm_dims(path, (b"P6", b"P3"))
+    return _read_via("sift_read_ppm", path, w0, h0)
+
+
+def read_png(path: str | os.PathLike) -> np.ndarray:
+    """Read a PNG (gray/RGB/RGBA, 8/16-bit) as (H, W) float32 grayscale."""
+    w0, h0 = _png_dims(path)
+    return _read_via("sift_read_png", path, w0, h0)
+
+
+def write_png(path: str | os.PathLike, img: np.ndarray) -> None:
+    """Write [0,1] floats as an 8-bit grayscale PNG."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native lib unavailable: {_build_error}")
+    img = np.ascontiguousarray(img, np.float32)
+    rc = lib.sift_write_png(
+        str(path).encode(),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[1], img.shape[0],
+    )
+    if rc != 0:
+        raise IOError(f"sift_write_png({path}) failed with code {rc}")
+
+
+_READERS = {
+    ".pgm": read_pgm,
+    ".ppm": read_ppm,
+    ".png": read_png,
+}
+
+
+def imread(path: str | os.PathLike) -> np.ndarray:
+    """Read a PGM/PPM/PNG image as (H, W) float32 grayscale in [0, 1]."""
+    ext = os.path.splitext(str(path))[1].lower()
+    try:
+        reader = _READERS[ext]
+    except KeyError:
+        raise IOError(
+            f"{path}: unsupported image extension {ext!r} "
+            f"(supported: {sorted(_READERS)})"
+        ) from None
+    return reader(path)
 
 
 # ---------------------------------------------------------------------------
