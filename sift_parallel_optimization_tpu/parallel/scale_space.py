@@ -300,33 +300,108 @@ def sharded_separable_blur(mesh: Mesh):
     )
 
 
+def _band_matrices(h: int, sigmas, dtype) -> jnp.ndarray:
+    """(n_sigma, h, h + 2*max_r) Toeplitz band slices for the row pass of a
+    halo-extended shard.
+
+    out[a] = sum_b L[a, b] * x_ext[b] with x_ext the (h + 2r)-row
+    halo-extended local block — exchange_rows already provides replicate
+    padding at the global border, so every shard uses the SAME unclamped
+    band (edge handling lives in the halo, not the matrix)."""
+    import math as _math
+
+    import numpy as np
+
+    radii = [max(1, int(_math.ceil(3.0 * s))) for s in sigmas]
+    r = max(radii)
+    L = np.zeros((len(sigmas), h, h + 2 * r), np.float32)
+    for si, (sig, rs) in enumerate(zip(sigmas, radii)):
+        x = np.arange(-rs, rs + 1, dtype=np.float64)
+        taps = np.exp(-(x**2) / (2.0 * sig * sig))
+        taps = (taps / taps.sum()).astype(np.float32)
+        for a in range(h):
+            L[si, a, a + r - rs : a + r + rs + 1] = taps
+    return jnp.asarray(L, dtype), r
+
+
+def sharded_blur_bank(
+    mesh: Mesh, height: int, width: int, sigmas, axis: str = "spatial",
+    dtype=jnp.float32,
+):
+    """Row-sharded multi-scale Gaussian blur as two MXU matmuls per shard.
+
+    The single-device form is core.pyramid_ref.blur_bank (B^T X B on the
+    MXU); sharding the rows turns the row pass into a per-shard band-matrix
+    matmul over halo-extended rows — ONE ppermute halo exchange (max radius
+    over all sigmas) covers every scale. This replaces the old shard-local
+    1-channel convs, which starve the MXU (~70x slower at 512^2 — see
+    core/pyramid_ref.py blur notes): the distributed SIFT pyramid now runs
+    at matmul speed, the TPU analogue of the reference's drafted MPI x SIMD
+    hybrids (mpitest.cpp:190-437).
+
+    Returns fn: (height, width) row-sharded on ``axis`` ->
+    (n_sigma, height, width) row-sharded. Requires height % axis_size == 0
+    and local height >= max radius.
+    """
+    from sift_parallel_optimization_tpu.core.pyramid_ref import blur_matrix
+
+    n_dev = mesh.shape[axis]
+    h = height // n_dev
+    L, r = _band_matrices(h, sigmas, dtype)
+    bank_w = jnp.stack(
+        [blur_matrix(width, s) for s in sigmas]
+    ).astype(dtype)
+    prec = jax.lax.Precision.HIGHEST
+
+    def local(x, bw, band):
+        x_ext = exchange_rows(x, r, axis)               # (h + 2r, W)
+        tmp = jnp.einsum(
+            "hw,swv->shv", x_ext, bw,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        out = jnp.einsum(
+            "sab,sbv->sav", band, tmp,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return out.astype(x.dtype)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=P(None, axis, None),
+    )
+    return lambda x: fn(x, bank_w, L)
+
+
 def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.Array]:
     """True SIFT Gaussian pyramid, large octaves row-sharded with halo
     exchange, small-tail octaves computed unsharded.
 
-    The downsample between octaves is a stride-2 row slice: while the local
-    shard height stays even the slice is shard-local (no resharding); once
-    octaves become too small the loop falls back to the unsharded path —
-    the resharding point SURVEY.md section 7 flags as hard part (d).
+    All blurs run as Toeplitz/band matmuls on the MXU (sharded_blur_bank;
+    single-device tail uses blur_bank) — one halo exchange per octave
+    covers every scale. The downsample between octaves is a stride-2 row
+    slice: while the local shard height stays even the slice is
+    shard-local (no resharding); once octaves become too small the loop
+    falls back to the unsharded path — the resharding point SURVEY.md
+    section 7 flags as hard part (d).
     """
     import math as _math
 
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
-        gaussian_kernel_1d,
-        separable_blur,
+        blur_bank,
+        strided_subsample,
         _octave_scale_sigmas,
     )
 
     n_sp = mesh.shape["spatial"]
-    blur = sharded_separable_blur(mesh)
 
     x = img.astype(cfg.dtype)
     base_sigma = _math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
-    base_taps = gaussian_kernel_1d(base_sigma, cfg.dtype)
-    # Composed per-scale blurs from the octave base — same semantics as the
-    # core path's blur_bank (Gaussian semigroup), here as halo-exchange convs.
-    rel_taps = [gaussian_kernel_1d(s, cfg.dtype) for s in _octave_scale_sigmas(cfg)]
-    max_r = max(t.shape[0] // 2 for t in [base_taps, *rel_taps])
+    rel = _octave_scale_sigmas(cfg)
+    max_r = max(
+        max(1, int(_math.ceil(3.0 * s))) for s in [base_sigma, *rel]
+    )
 
     def can_shard(size: int) -> bool:
         # Halo must not exceed local height, and stride-2 must stay local.
@@ -334,19 +409,21 @@ def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.A
 
     octaves = []
     sharded = can_shard(x.shape[0])
-    x = blur(x, base_taps) if sharded else separable_blur(x, base_taps)
+    if sharded:
+        x = sharded_blur_bank(
+            mesh, x.shape[0], x.shape[1], [base_sigma], dtype=cfg.dtype
+        )(x)[0]
+    else:
+        x = blur_bank(x, [base_sigma])[0]
     for _o in range(cfg.n_octaves):
-        scales = [x]
-        for taps in rel_taps:
-            scales.append(
-                blur(x, taps) if sharded else separable_blur(x, taps)
-            )
-        octave = jnp.stack(scales)
+        if sharded:
+            blurred = sharded_blur_bank(
+                mesh, x.shape[0], x.shape[1], rel, dtype=cfg.dtype
+            )(x)
+        else:
+            blurred = blur_bank(x, rel)
+        octave = jnp.concatenate([x[None], blurred], axis=0)
         octaves.append(octave)
-        from sift_parallel_optimization_tpu.core.pyramid_ref import (
-            strided_subsample,
-        )
-
         x = strided_subsample(octave[cfg.S], 2)
         if sharded and not can_shard(x.shape[0]):
             sharded = False  # resharding point: tail octaves run unsharded
