@@ -172,9 +172,121 @@ def bench_ba(
     )
 
 
+def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
+    """The parallelism-KNOB sweep — the reference's schedule/chunk study
+    (OpenMP static/dynamic/guided x chunk_size, GaussDePyramid-OpenMP.h:
+    220-402, main.cpp:43-59; pthread Timing_ThreadCount,
+    GaussDePyramid-pThread.h:310-326), generalized to the TPU knobs:
+
+      * Pallas ``tile_rows`` (the chunk-size analogue) on the fused
+        REFERENCE pyramid kernel;
+      * compute dtype (f32 vs bf16) on the SIFT Gaussian pyramid — the
+        SIMD-width analogue (bf16 doubles MXU rate);
+      * frame batch size on the vmapped frontend (tail-batch efficiency);
+      * mesh shape (data x spatial factorizations) on the sharded SIFT
+        pyramid, when >1 device is visible.
+
+    Every cell is one JSONL record; use `cli bench --workloads matrix`.
+    """
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        sift_gaussian_pyramid,
+    )
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+
+    img = _rand_img(size)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    # --- Pallas tile_rows sweep (TPU-only: the kernel needs real tiling).
+    if on_tpu:
+        from sift_parallel_optimization_tpu.ops.scale_space_pallas import (
+            reference_dog_octave_pallas,
+        )
+
+        for tile_rows in (64, 128, 256, 512):
+            if tile_rows > size:
+                continue
+
+            def step(x, tr=tile_rows):
+                return reference_dog_octave_pallas(x, 5, tile_rows=tr).sum()
+
+            ms = chained_slope_ms(step, img)
+            writer.write(
+                f"matrix_pallas_tile_ms_{size}", round(ms, 4), "ms",
+                tile_rows=tile_rows,
+            )
+
+    # --- dtype sweep on the SIFT pyramid (MXU rate vs accuracy).
+    for dtype_name in ("float32", "bfloat16"):
+        cfg = sift_config(size, dtype=jnp.dtype(dtype_name))
+
+        def step(x):
+            return sum(
+                o.astype(jnp.float32).sum()
+                for o in sift_gaussian_pyramid(x, cfg)
+            )
+
+        ms = chained_slope_ms(step, img)
+        writer.write(
+            f"matrix_sift_pyramid_ms_{size}", round(ms, 4), "ms",
+            dtype=dtype_name,
+        )
+
+    # --- frame-batch sweep on the frontend (per-frame cost vs B).
+    bsize = min(size, 256)
+    cfg = sift_config(bsize)
+    for batch in (1, 2, 4, 8):
+        frames = jnp.asarray(
+            np.random.default_rng(1).random(
+                (batch, bsize, bsize), np.float32
+            )
+        )
+
+        def step(x):
+            f = jax.vmap(lambda im: extract_features(im, cfg, 256))(x)
+            return f.descriptors.sum() + f.keypoints.score.sum()
+
+        ms = chained_slope_ms(step, frames, chain_lo=10, chain_hi=40)
+        writer.write(
+            f"matrix_frontend_batched_ms_per_frame_{bsize}",
+            round(ms / batch, 4), "ms", batch=batch,
+        )
+
+    # --- mesh-shape sweep (data x spatial factorizations of the device set).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from sift_parallel_optimization_tpu.parallel.mesh import make_mesh
+        from sift_parallel_optimization_tpu.parallel.scale_space import (
+            sharded_sift_gaussian_pyramid,
+        )
+
+        shapes = [
+            (d, n_dev // d)
+            for d in (1, 2, 4, 8, 16)
+            if d <= n_dev and n_dev % d == 0
+        ]
+        scfg = sift_config(size)
+        for n_data, n_spatial in shapes:
+            mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
+
+            def step(x):
+                return sum(
+                    o.sum()
+                    for o in sharded_sift_gaussian_pyramid(x, scfg, mesh)
+                )
+
+            ms = chained_slope_ms(step, img)
+            writer.write(
+                f"matrix_mesh_shape_pyramid_ms_{size}", round(ms, 4), "ms",
+                mesh=f"{n_data}x{n_spatial}",
+            )
+
+
 def run_suite(
     writer: MetricsWriter,
-    workloads=("pyramid", "frontend", "matching", "ba"),
+    workloads=("pyramid", "frontend", "matching", "ba", "matrix", "scaling"),
     **kw,
 ) -> None:
     if "pyramid" in workloads:
@@ -185,6 +297,8 @@ def run_suite(
         bench_matching(writer, **kw)
     if "ba" in workloads:
         bench_ba(writer, **kw)
+    if "matrix" in workloads:
+        bench_matrix(writer, **kw)
     if "scaling" in workloads:
         # Virtual-CPU-mesh sweep (Timing_ThreadCount analogue). NOTE: XLA's
         # CPU backend multithreads within ONE device, so virtual-device DP

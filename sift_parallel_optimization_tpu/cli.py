@@ -289,7 +289,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("bench", help="run the benchmark matrix")
-    b.add_argument("--workloads", default="pyramid,frontend,matching,ba")
+    b.add_argument(
+        "--workloads",
+        default="pyramid,frontend,matching,ba,matrix,scaling",
+    )
     b.add_argument("--out", default=None, help="JSONL path (default stdout)")
     b.set_defaults(fn=_cmd_bench)
 
