@@ -105,82 +105,165 @@ def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
     return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
 
 
-def _rotation_point_jacobian(w: jax.Array, p: jax.Array, R: jax.Array):
-    """d(R(w) p)/dw, closed form (Gallego & Yezzi 2015, eq. 9), batched.
+def _hat_cols(x, y, z):
+    """Cross-product matrix [v]x as a 3x3 nested list of (N,) arrays."""
+    zero = jnp.zeros_like(x)
+    return [[zero, -z, y], [z, zero, -x], [-y, x, zero]]
 
-    w: (M, 3) axis-angle; p: (M, 3) points; R: (M, 3, 3) = rodrigues(w).
-    Returns (M, 3, 3). As ||w|| -> 0 the formula's limit is -[p]x, which is
-    substituted explicitly below the epsilon (matches rodrigues()'s own
-    first-order branch, so it agrees with jacfwd everywhere).
+
+def _mat3_mul_cols(a, b):
+    """3x3 matrix product on nested-list-of-(N,)-array operands."""
+    return [
+        [sum(a[i][l] * b[l][j] for l in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _rodrigues_cols(wx, wy, wz):
+    """Scalarized geometry.rodrigues: the 9 entries of R as (N,) arrays.
+
+    Same Taylor-safe small-angle branch (R ~ I + hat(w) below 1e-6) as
+    models.geometry.rodrigues, so the two agree bitwise-closely. The
+    scalarized form exists because (N, 3, 3) intermediates map their
+    trailing dims onto the TPU's (8, 128) tile at <1% utilization —
+    rodrigues on 208k rows costs 2.35 ms in tensor form vs ~0.1 ms of
+    actual HBM traffic; (N,) component arrays tile densely on the VPU.
     """
+    nsq = wx * wx + wy * wy + wz * wz
+    theta = jnp.sqrt(nsq)
+    small = theta < 1e-6
+    th = jnp.where(small, 1.0, theta)
+    kx, ky, kz = wx / th, wy / th, wz / th
+    s = jnp.sin(theta)
+    mc = 1.0 - jnp.cos(theta)
+    c = jnp.cos(theta)
+    # R = cos(t) I + sin(t) [k]x + (1-cos(t)) k k^T  (unit axis k).
+    big = [
+        [c + mc * kx * kx, -s * kz + mc * kx * ky, s * ky + mc * kx * kz],
+        [s * kz + mc * kx * ky, c + mc * ky * ky, -s * kx + mc * ky * kz],
+        [-s * ky + mc * kx * kz, s * kx + mc * ky * kz, c + mc * kz * kz],
+    ]
+    one = jnp.ones_like(wx)
+    lin = [[one, -wz, wy], [wz, one, -wx], [-wy, wx, one]]
+    return [
+        [jnp.where(small, lin[i][j], big[i][j]) for j in range(3)]
+        for i in range(3)
+    ]
 
-    def hat(v):
-        zero = jnp.zeros_like(v[..., 0])
-        return jnp.stack(
-            [
-                jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
-                jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
-                jnp.stack([-v[..., 1], v[..., 0], zero], -1),
-            ],
-            -2,
-        )
 
-    nsq = jnp.sum(w * w, axis=-1)                     # (M,)
-    px = hat(p)                                       # (M, 3, 3)
-    wx = hat(w)
-    eye = jnp.eye(3, dtype=w.dtype)
-    inner = (
-        w[:, :, None] * w[:, None, :]
-        + jnp.einsum("mji,mjk->mik", R, wx)           # R^T [w]x
-        - wx
+def _rotation_point_jac_cols(w_cols, p_cols, R):
+    """d(R(w) p)/dw, closed form (Gallego & Yezzi 2015, eq. 9), scalarized.
+
+    w_cols/p_cols: 3-tuples of (N,) arrays; R: nested-list rotation from
+    _rodrigues_cols. Returns the 9 entries of the (3, 3) Jacobian as a
+    nested list. As ||w|| -> 0 the limit is -[p]x, substituted below the
+    epsilon (matches the rodrigues first-order branch, so it agrees with
+    jacfwd everywhere).
+    """
+    wx, wy, wz = w_cols
+    nsq = wx * wx + wy * wy + wz * wz
+    h = _hat_cols(wx, wy, wz)
+    ph = _hat_cols(*p_cols)
+    w_ = [wx, wy, wz]
+    # inner = w w^T + R^T [w]x - [w]x
+    inner = [
+        [
+            w_[i] * w_[j]
+            + sum(R[l][i] * h[l][j] for l in range(3))
+            - h[i][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    b = _mat3_mul_cols(ph, inner)
+    rb = _mat3_mul_cols(R, b)
+    inv = 1.0 / jnp.maximum(nsq, 1e-12)
+    small = nsq < 1e-12
+    return [
+        [jnp.where(small, -ph[i][j], -rb[i][j] * inv) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _analytic_jacobian_cols(rv_cols, tv_cols, p_cols, uv_cols, valid, K):
+    """Closed-form Jacobians in structure-of-arrays (column) form.
+
+    All inputs/outputs are (N,) component arrays; nothing with trailing
+    tiny dims is ever materialized (the TPU tile-padding trap — see
+    _rodrigues_cols). Returns (jc [2][6], jp [2][3], r [2]) nested lists,
+    zeroed on invalid slots.
+
+    Chain: r = pi(q) - uv with q = R p + t, so
+      d r / d t = A,  d r / d p = A R,  d r / d w = A * d(R p)/dw
+    with A = d pi / d q the (2, 3) pinhole Jacobian (rows [fx/z, 0,
+    -fx x/z^2], [0, fy/z, -fy y/z^2] — the zeros make A-products sparse).
+    Agreement with the jacfwd path is tested (tests/test_geometry_ba.py).
+    """
+    R = _rodrigues_cols(*rv_cols)
+    q = [
+        sum(R[i][j] * p_cols[j] for j in range(3)) + tv_cols[i]
+        for i in range(3)
+    ]
+    z = q[2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    fx, fy = K[0, 0], K[1, 1]
+    inv_z = 1.0 / zs
+    zero = jnp.zeros_like(z)
+    a00 = fx * inv_z
+    a02 = -fx * q[0] * inv_z * inv_z
+    a11 = fy * inv_z
+    a12 = -fy * q[1] * inv_z * inv_z
+    # jp = A R; row sparsity of A gives two products per entry.
+    jp0 = [a00 * R[0][k] + a02 * R[2][k] for k in range(3)]
+    jp1 = [a11 * R[1][k] + a12 * R[2][k] for k in range(3)]
+    dw = _rotation_point_jac_cols(rv_cols, p_cols, R)
+    jw0 = [a00 * dw[0][k] + a02 * dw[2][k] for k in range(3)]
+    jw1 = [a11 * dw[1][k] + a12 * dw[2][k] for k in range(3)]
+    # jc = [jw | jt] with jt = A.
+    jc0 = jw0 + [a00, zero, a02]
+    jc1 = jw1 + [zero, a11, a12]
+    r0 = q[0] * inv_z * fx + K[0, 2] - uv_cols[0]
+    r1 = q[1] * inv_z * fy + K[1, 2] - uv_cols[1]
+    v = valid.astype(jnp.float32)
+    jc = [[e * v for e in jc0], [e * v for e in jc1]]
+    jp = [[e * v for e in jp0], [e * v for e in jp1]]
+    r = [r0 * v, r1 * v]
+    return jc, jp, r
+
+
+def _analytic_jacobians_core(rv, tv, p, uv, valid, K: jax.Array):
+    """Closed-form Jacobians from pre-gathered per-slot inputs.
+
+    rv/tv/p: (M, 3); uv: (M, 2); valid: (M,) bool. Returns
+    (jc (M, 2, 6), jp (M, 2, 3), r (M, 2)), zeroed on invalid slots.
+    Thin stacking wrapper over _analytic_jacobian_cols.
+    """
+    jc_c, jp_c, r_c = _analytic_jacobian_cols(
+        (rv[:, 0], rv[:, 1], rv[:, 2]),
+        (tv[:, 0], tv[:, 1], tv[:, 2]),
+        (p[:, 0], p[:, 1], p[:, 2]),
+        (uv[:, 0], uv[:, 1]),
+        valid,
+        K,
     )
-    d = -jnp.einsum(
-        "mij,mjk,mkl->mil", R, px, inner
-    ) / jnp.maximum(nsq, 1e-12)[:, None, None]
-    small = (nsq < 1e-12)[:, None, None]
-    return jnp.where(small, -px, d)
+    jc = jnp.stack([jnp.stack(row, -1) for row in jc_c], -2)
+    jp = jnp.stack([jnp.stack(row, -1) for row in jp_c], -2)
+    r = jnp.stack(r_c, -1)
+    return jc, jp, r
 
 
 def _analytic_jacobians(state: BAState, obs: Observations, K: jax.Array):
     """Closed-form per-observation Jacobians (same contract as
     ``_obs_jacobians`` but ~an order of magnitude fewer ops than the 9
-    jacfwd tangent passes — the BA linearization hot path).
-
-    Chain: r = pi(q) - uv with q = R p + t, so
-      d r / d t = A,  d r / d p = A R,  d r / d w = A * d(R p)/dw
-    with A = d pi / d q the (2, 3) pinhole Jacobian. Agreement with the
-    jacfwd path is tested to ~1e-4 (tests/test_geometry_ba.py).
-    """
-    from sift_parallel_optimization_tpu.models.geometry import rodrigues
-
-    rv = state.rvecs[obs.cam_idx]                     # (M, 3)
-    tv = state.tvecs[obs.cam_idx]
-    p = state.points[obs.pt_idx]
-    R = rodrigues(rv)                                 # (M, 3, 3)
-    q = jnp.einsum("mij,mj->mi", R, p) + tv
-    z = q[:, 2]
-    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-    fx, fy = K[0, 0], K[1, 1]
-    inv_z = 1.0 / zs
-    zero = jnp.zeros_like(z)
-    # A = d(pinhole uv)/d q, rows [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2].
-    a = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zero, -fx * q[:, 0] * inv_z * inv_z], -1),
-            jnp.stack([zero, fy * inv_z, -fy * q[:, 1] * inv_z * inv_z], -1),
-        ],
-        -2,
-    )                                                 # (M, 2, 3)
-    jt = a
-    jp = jnp.einsum("mij,mjk->mik", a, R)             # (M, 2, 3)
-    dw = _rotation_point_jacobian(rv, p, R)           # (M, 3, 3)
-    jw = jnp.einsum("mij,mjk->mik", a, dw)            # (M, 2, 3)
-    jc = jnp.concatenate([jw, jt], axis=-1)           # (M, 2, 6)
-
-    uvp = q[:, :2] * inv_z[:, None] * jnp.stack([fx, fy]) + K[:2, 2]
-    r = uvp - obs.uv
-    w = obs.valid[:, None, None].astype(jnp.float32)
-    return jc * w, jp * w, jnp.where(obs.valid[:, None], r, 0.0)
+    jacfwd tangent passes — the BA linearization hot path)."""
+    return _analytic_jacobians_core(
+        state.rvecs[obs.cam_idx],
+        state.tvecs[obs.cam_idx],
+        state.points[obs.pt_idx],
+        obs.uv,
+        obs.valid,
+        K,
+    )
 
 
 class NormalBlocks(NamedTuple):
@@ -308,30 +391,40 @@ def solve_schur(
 # ---------------------------------------------------------------------------
 
 
-class ImplicitBlocks(NamedTuple):
-    """Linearization in obs-sorted GROUPED form: O(M) memory, no O(C*P) W.
+class GroupPlan(NamedTuple):
+    """Point-grouped observation layout, computed ONCE per (obs, shapes).
 
-    The Schur complement S = Hcc - W Hpp^-1 W^T is never materialized.
-    Observations are scattered ONCE per GN step into two padded groupings —
-    by point (P, R, ...) and by camera (C, Rc, ...) — so every CG matvec
-    is pure dense einsums + small-table gathers: zero segment_sums/scatters
-    inside the CG loop (TPU scatters are sort-based and dominated the
-    first implicit implementation, 769 ms vs the dense solver's 336 ms at
-    50x2000x100k on a v5e). This is what lets 200+-camera scenes run:
-    dense W is O(C*P*18) floats and the reduced-system einsum O(C^2*P)
-    flops, both of which this path eliminates.
+    The grouping depends only on the observation INDEX structure, which is
+    constant across Gauss-Newton iterations — so the expensive layout work
+    (argsort ranking, scatters) is hoisted out of the GN loop entirely.
+    Per-step assembly is then a single row gather through ``perm`` and the
+    CG matvec needs ZERO gathers or scatters: the camera assignment is
+    carried as a one-hot tensor, turning both W^T x (camera vector into
+    point groups) and W y (point groups back to cameras) into dense MXU
+    einsums. TPU scatters are sort-based and dominated the first implicit
+    implementation (769 ms/step vs the dense solver's ~30 at
+    50x2000x100k); per-slot gathers inside the CG loop cost ~2.2 ms/iter.
 
-    Observations whose within-group rank exceeds R (or Rc) are dropped
-    from BOTH groupings (keeping W and W^T exact transposes, which CG
-    needs for a symmetric operator); size the capacities accordingly.
+    Observations whose within-point rank exceeds the capacity R are
+    dropped (W stays exactly symmetric since there is only one grouping);
+    ``n_dropped`` counts them — size R accordingly.
     """
 
-    jc_p: jax.Array     # (P, R, 2, 6) point-grouped camera Jacobians
-    jp_p: jax.Array     # (P, R, 2, 3) point-grouped point Jacobians
-    cam_p: jax.Array    # (P, R) i32 camera index per slot (0 on padding)
-    jc_c: jax.Array     # (C, Rc, 2, 6) camera-grouped camera Jacobians
-    jp_c: jax.Array     # (C, Rc, 2, 3) camera-grouped point Jacobians
-    pt_c: jax.Array     # (C, Rc) i32 point index per slot (0 on padding)
+    perm: jax.Array       # (P, R) i32 source obs index per slot; M = pad
+    cam_oh: jax.Array     # (P, R, C) f32 one-hot camera (0-rows on pad)
+    uv: jax.Array         # (P, R, 2) grouped pixel observations
+    valid: jax.Array      # (P, R) slot validity
+    n_dropped: jax.Array  # () i32 valid observations that overflowed R
+
+
+class ImplicitBlocks(NamedTuple):
+    """Per-GN-step linearization in the GroupPlan layout: O(M) memory,
+    no O(C*P) dense cross block anywhere. The Schur complement
+    S = Hcc - W Hpp^-1 W^T is only ever applied, never materialized."""
+
+    jc: jax.Array       # (P, R, 2, 6) point-grouped camera Jacobians
+    jp: jax.Array       # (P, R, 2, 3) point-grouped point Jacobians
+    cam_oh: jax.Array   # (P, R, C) from the plan
     hcc: jax.Array      # (C, 6, 6) DAMPED camera diagonal blocks
     hpp_inv: jax.Array  # (P, 3, 3) inverse damped point diagonal blocks
     bc: jax.Array       # (C, 6)
@@ -343,6 +436,37 @@ def _damp_blocks(h: jax.Array, damping: float) -> jax.Array:
     d = jnp.diagonal(h, axis1=-2, axis2=-1)
     k = h.shape[-1]
     return h + (damping * d + 1e-6)[..., None] * jnp.eye(k)
+
+
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Batched closed-form (adjugate) 3x3 inverse.
+
+    jnp.linalg.inv's LU path costs ~1.8 ms for 2000 batched 3x3 blocks on
+    a v5e; the adjugate is pure elementwise VPU work (~0.06 ms) and, on
+    the SPD damped Hpp blocks it is applied to, just as accurate.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = c * h - b * i
+    cc = b * f - c * e
+    cd = f * g - d * i
+    ce = a * i - c * g
+    cf = c * d - a * f
+    cg = d * h - e * g
+    ch = b * g - a * h
+    ci = a * e - b * d
+    det = a * ca + b * cd + c * cg
+    inv = jnp.stack(
+        [
+            jnp.stack([ca, cb, cc], -1),
+            jnp.stack([cd, ce, cf], -1),
+            jnp.stack([cg, ch, ci], -1),
+        ],
+        -2,
+    )
+    return inv / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)[..., None, None]
 
 
 def _linearize(
@@ -375,29 +499,55 @@ def _group_rank(idx: jax.Array, n: int) -> jax.Array:
     return jnp.zeros(m, jnp.int32).at[order].set(rank_sorted)
 
 
-def _scatter_grouped(values: jax.Array, flat_slot: jax.Array, n_slots: int):
-    """(M, ...) values -> (n_slots, ...) at flat_slot (out-of-range drops)."""
-    return (
-        jnp.zeros((n_slots,) + values.shape[1:], values.dtype)
-        .at[flat_slot]
-        .add(values, mode="drop")
-    )
-
-
-def _cg_capacities(n_obs: int, C: int, P: int,
-                   max_obs_per_point: int | None,
-                   max_obs_per_cam: int | None) -> tuple[int, int]:
-    """Static group capacities (R, Rc) with 2x-mean heuristics."""
+def _cg_capacity(n_obs: int, P: int, max_obs_per_point: int | None) -> int:
+    """Static group capacity R with a 2x-mean heuristic."""
 
     def up8(v):
         return max(8, (v + 7) // 8 * 8)
 
-    r = max_obs_per_point or min(up8(2 * -(-n_obs // P)), up8(n_obs))
-    rc = max_obs_per_cam or min(up8(2 * -(-n_obs // C)), up8(n_obs))
-    return r, rc
+    return max_obs_per_point or min(up8(2 * -(-n_obs // P)), up8(n_obs))
 
 
-@_f32_precision
+def make_group_plan(
+    obs: Observations,
+    n_cams: int,
+    n_points: int,
+    max_obs_per_point: int | None = None,
+) -> GroupPlan:
+    """Build the point-grouped layout for a fixed observation structure.
+
+    Capacity defaults to 2x the mean occupancy (rounded up to 8); pass an
+    explicit ``max_obs_per_point`` when the distribution is skewed (SfM
+    maps: a landmark can be observed by every camera, so ~ n_cams).
+    Invalid (padding) observations are routed to a virtual overflow group
+    so they cannot eat a real group's rank capacity.
+    """
+    C, P = n_cams, n_points
+    M = obs.cam_idx.shape[0]
+    R = _cg_capacity(M, P, max_obs_per_point)
+    idx = jnp.where(obs.valid, obs.pt_idx, P)
+    rank = _group_rank(idx, P)
+    keep = (rank < R) & obs.valid
+    slot = jnp.where(keep, obs.pt_idx * R + rank, P * R)
+    perm = (
+        jnp.full(P * R + 1, M, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")[: P * R]
+        .reshape(P, R)
+    )
+    slot_valid = perm < M
+    cam_ext = jnp.concatenate([obs.cam_idx, jnp.zeros(1, obs.cam_idx.dtype)])
+    cam = jnp.where(slot_valid, cam_ext[jnp.minimum(perm, M)], C)
+    cam_oh = jax.nn.one_hot(cam, C, dtype=jnp.float32)  # zero rows on pad
+    uv_ext = jnp.concatenate([obs.uv, jnp.zeros((1, 2), obs.uv.dtype)])
+    uv_g = uv_ext[jnp.minimum(perm, M)]
+    n_dropped = jnp.sum(obs.valid) - jnp.sum(keep)
+    return GroupPlan(
+        perm=perm, cam_oh=cam_oh, uv=uv_g, valid=slot_valid,
+        n_dropped=n_dropped,
+    )
+
+
 def assemble_implicit_blocks(
     state: BAState,
     obs: Observations,
@@ -406,79 +556,126 @@ def assemble_implicit_blocks(
     huber_delta: float | None = None,
     fix_first_cam: bool = True,
     max_obs_per_point: int | None = None,
-    max_obs_per_cam: int | None = None,
+    plan: GroupPlan | None = None,
 ) -> ImplicitBlocks:
-    """Linearize with analytic Jacobians; group by point AND by camera.
+    """Linearize with analytic Jacobians DIRECTLY in the GroupPlan layout.
 
-    Group capacities default to 2x the mean occupancy (rounded up to 8);
-    observations overflowing EITHER capacity are dropped from both
-    groupings (symmetric W). Pass explicit capacities when the obs
-    distribution is skewed (e.g. SfM maps: a landmark can be observed by
-    every camera, so max_obs_per_point ~ C).
+    Pass ``plan`` (from make_group_plan) when solving repeatedly over the
+    same observation structure — bundle_adjust does — so the layout work
+    runs once, not per GN step. Per step there are NO gathers or scatters
+    at all: uv/validity are grouped in the plan (they never change across
+    GN iterations), camera parameters reach their slots through the
+    one-hot matmul, the point broadcasts along its own group axis, and
+    the closed-form Jacobians are evaluated per (point, rank) slot.
+
+    The whole linearization runs SCALARIZED — (N,) component arrays, not
+    (N, 2, 6) tensors — because trailing tiny dims occupy <1% of each
+    (8, 128) TPU tile and the padded HBM traffic dominated the first
+    implementation (22 ms/step at 50x2000x100k vs ~2 ms scalarized).
+    Matmul precision is pinned HIGHEST only on the two real contractions
+    (one-hot parameter spread, camera-side reduction); everything else is
+    elementwise VPU work, which is natively exact f32.
     """
     C = state.rvecs.shape[0]
     P = state.points.shape[0]
-    M = obs.cam_idx.shape[0]
-    R, Rc = _cg_capacities(M, C, P, max_obs_per_point, max_obs_per_cam)
-    jc, jp, r = _linearize(state, obs, K, huber_delta, fix_first_cam)
+    if plan is None:
+        plan = make_group_plan(obs, C, P, max_obs_per_point)
+    oh = plan.cam_oh
+    R_cap = plan.perm.shape[1]
+    n_slots = P * R_cap
 
-    # Invalid (padding) observations are routed to a virtual overflow
-    # group (index n) so they cannot eat a REAL group's rank capacity —
-    # SfM maps carry many padding slots whose idx fields are 0, which
-    # would otherwise exhaust group 0's R slots before real obs get one.
-    idx_p = jnp.where(obs.valid, obs.pt_idx, P)
-    idx_c = jnp.where(obs.valid, obs.cam_idx, C)
-    rank_p = _group_rank(idx_p, P)
-    rank_c = _group_rank(idx_c, C)
-    keep = (rank_p < R) & (rank_c < Rc) & obs.valid
-    jc = jc * keep[:, None, None]
-    jp = jp * keep[:, None, None]
-    r = r * keep[:, None]
+    with jax.default_matmul_precision("highest"):
+        cam_par = jnp.concatenate([state.rvecs, state.tvecs], axis=1)
+        par_g = jnp.einsum("prc,ck->prk", oh, cam_par)  # (P, R, 6)
+    par_g = par_g.reshape(n_slots, 6)
+    p_g = jnp.broadcast_to(state.points[:, None, :], (P, R_cap, 3))
+    p_g = p_g.reshape(n_slots, 3)
+    uv_g = plan.uv.reshape(n_slots, 2)
+    jc, jp, r = _analytic_jacobian_cols(
+        (par_g[:, 0], par_g[:, 1], par_g[:, 2]),
+        (par_g[:, 3], par_g[:, 4], par_g[:, 5]),
+        (p_g[:, 0], p_g[:, 1], p_g[:, 2]),
+        (uv_g[:, 0], uv_g[:, 1]),
+        plan.valid.reshape(n_slots),
+        K,
+    )
+    if huber_delta is not None:
+        n = jnp.sqrt(r[0] * r[0] + r[1] * r[1])
+        hw = jnp.sqrt(
+            jnp.where(n <= huber_delta, 1.0, huber_delta / jnp.maximum(n, 1e-12))
+        )
+        jc = [[e * hw for e in row] for row in jc]
+        jp = [[e * hw for e in row] for row in jp]
+        r = [e * hw for e in r]
+    if fix_first_cam:
+        keep = (1.0 - oh[..., 0]).reshape(n_slots)
+        jc = [[e * keep for e in row] for row in jc]
 
-    slot_p = jnp.where(keep, obs.pt_idx * R + rank_p, P * R)
-    slot_c = jnp.where(keep, obs.cam_idx * Rc + rank_c, C * Rc)
-    jc_p = _scatter_grouped(jc, slot_p, P * R).reshape(P, R, 2, 6)
-    jp_p = _scatter_grouped(jp, slot_p, P * R).reshape(P, R, 2, 3)
-    cam_p = _scatter_grouped(
-        obs.cam_idx * keep, slot_p, P * R
-    ).reshape(P, R)
-    jc_c = _scatter_grouped(jc, slot_c, C * Rc).reshape(C, Rc, 2, 6)
-    jp_c = _scatter_grouped(jp, slot_c, C * Rc).reshape(C, Rc, 2, 3)
-    pt_c = _scatter_grouped(
-        obs.pt_idx * keep, slot_c, C * Rc
-    ).reshape(C, Rc)
-    r_p = _scatter_grouped(r, slot_p, P * R).reshape(P, R, 2)
-    r_c = _scatter_grouped(r, slot_c, C * Rc).reshape(C, Rc, 2)
+    # Camera-side reduction: J^T J and J^T r entries are elementwise
+    # products (VPU); the per-camera sums are ONE (C, n_slots) x
+    # (n_slots, 42) MXU matmul against the one-hot assignment. The 36
+    # hcc entries are symmetric but cheap enough to emit directly.
+    cam_cols = [
+        jc[0][k] * jc[0][l] + jc[1][k] * jc[1][l]
+        for k in range(6)
+        for l in range(6)
+    ] + [jc[0][k] * r[0] + jc[1][k] * r[1] for k in range(6)]
+    cam_side = jnp.stack(cam_cols, axis=-1)               # (n, 42)
+    with jax.default_matmul_precision("highest"):
+        out = lax.dot_general(
+            oh.reshape(n_slots, C), cam_side, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # (C, 42)
+    hcc = out[:, :36].reshape(C, 6, 6)
+    bc = -out[:, 36:42]
 
-    hcc = jnp.einsum("crik,cril->ckl", jc_c, jc_c)
-    hpp = jnp.einsum("prik,pril->pkl", jp_p, jp_p)
-    bc = -jnp.einsum("crik,cri->ck", jc_c, r_c)
-    bp = -jnp.einsum("prik,pri->pk", jp_p, r_p)
+    # Point-side reduction: plain sums over the group axis, still in
+    # column form ((P, R) reshape -> sum axis 1).
+    def psum_col(e):
+        return e.reshape(P, R_cap).sum(axis=1)
+
+    hpp_cols = [
+        [psum_col(jp[0][k] * jp[0][l] + jp[1][k] * jp[1][l]) for l in range(3)]
+        for k in range(3)
+    ]
+    hpp = jnp.stack(
+        [jnp.stack(row, -1) for row in hpp_cols], -2
+    )                                                     # (P, 3, 3)
+    bp = -jnp.stack(
+        [psum_col(jp[0][k] * r[0] + jp[1][k] * r[1]) for k in range(3)], -1
+    )                                                     # (P, 3)
+
+    jc_g = jnp.stack(
+        [jnp.stack(row, -1) for row in jc], -2
+    ).reshape(P, R_cap, 2, 6)
+    jp_g = jnp.stack(
+        [jnp.stack(row, -1) for row in jp], -2
+    ).reshape(P, R_cap, 2, 3)
+
     hcc = _damp_blocks(hcc, damping)
     if fix_first_cam:
         # Row/col 0 of the reduced system is the identity (x0 stays 0):
-        # cam-0 Jacobians are zeroed above so W and bc rows are already 0.
+        # cam-0 Jacobians are zeroed above so W/bc rows are 0.
         hcc = hcc.at[0].set(jnp.eye(6))
-    hpp_inv = jnp.linalg.inv(_damp_blocks(hpp, damping))
+    hpp_inv = _inv3x3(_damp_blocks(hpp, damping))
     return ImplicitBlocks(
-        jc_p=jc_p, jp_p=jp_p, cam_p=cam_p,
-        jc_c=jc_c, jp_c=jp_c, pt_c=pt_c,
+        jc=jc_g, jp=jp_g, cam_oh=oh,
         hcc=hcc, hpp_inv=hpp_inv, bc=bc, bp=bp,
     )
 
 
 def _wt_apply(blk: ImplicitBlocks, x: jax.Array) -> jax.Array:
-    """W^T x: (C, 6) camera vector -> (P, 3) point vector, dense over R."""
-    xg = x[blk.cam_p]                                       # (P, R, 6)
-    t = jnp.einsum("prik,prk->pri", blk.jc_p, xg)           # (P, R, 2)
-    return jnp.einsum("pril,pri->pl", blk.jp_p, t)          # (P, 3)
+    """W^T x: (C, 6) camera vector -> (P, 3). One-hot matmul, no gather."""
+    xg = jnp.einsum("prc,ck->prk", blk.cam_oh, x)           # (P, R, 6)
+    t = jnp.einsum("prik,prk->pri", blk.jc, xg)             # (P, R, 2)
+    return jnp.einsum("pril,pri->pl", blk.jp, t)            # (P, 3)
 
 
 def _w_apply(blk: ImplicitBlocks, y: jax.Array) -> jax.Array:
-    """W y: (P, 3) point vector -> (C, 6) camera vector, dense over Rc."""
-    yg = y[blk.pt_c]                                        # (C, Rc, 3)
-    t = jnp.einsum("cril,crl->cri", blk.jp_c, yg)           # (C, Rc, 2)
-    return jnp.einsum("crik,cri->ck", blk.jc_c, t)          # (C, 6)
+    """W y: (P, 3) point vector -> (C, 6). One-hot matmul, no scatter."""
+    t = jnp.einsum("pril,pl->pri", blk.jp, y)               # (P, R, 2)
+    u = jnp.einsum("prik,pri->prk", blk.jc, t)              # (P, R, 6)
+    return jnp.einsum("prc,prk->ck", blk.cam_oh, u)         # (C, 6)
 
 
 def schur_matvec(blk: ImplicitBlocks, x: jax.Array) -> jax.Array:
@@ -556,18 +753,21 @@ def ba_step(
     fix_first_cam: bool = True,
     solver: str = "dense",
     cg_iters: int = 25,
+    plan: GroupPlan | None = None,
 ) -> BAState:
     """One damped Gauss-Newton step with Schur-complement elimination.
 
     ``solver``: "dense" materializes W and solves the (6C, 6C) reduced
     system exactly (best for small scenes, bit-stable); "cg" runs the
     implicit-Schur preconditioned CG (O(M) memory, scales to hundreds of
-    cameras — see ImplicitBlocks).
+    cameras — see GroupPlan/ImplicitBlocks). Pass ``plan`` to reuse the
+    grouping across steps.
     """
     if solver == "cg":
         blk = assemble_implicit_blocks(
             state, obs, K, damping=damping,
             huber_delta=huber_delta, fix_first_cam=fix_first_cam,
+            plan=plan,
         )
         delta_c, delta_p = solve_schur_cg(blk, cg_iters=cg_iters)
     else:
@@ -591,8 +791,20 @@ def bundle_adjust(
     fix_first_cam: bool = True,
     solver: str = "dense",
     cg_iters: int = 25,
+    max_obs_per_point: int | None = None,
 ) -> BAState:
-    """Run ``n_iters`` damped Gauss-Newton steps (static trip count)."""
+    """Run ``n_iters`` damped Gauss-Newton steps (static trip count).
+
+    For the CG solver the observation grouping (make_group_plan) is
+    computed once here and reused by every step — the layout depends only
+    on the index structure, not on the evolving state.
+    """
+    plan = None
+    if solver == "cg":
+        plan = make_group_plan(
+            obs, state.rvecs.shape[0], state.points.shape[0],
+            max_obs_per_point,
+        )
 
     def body(_, st):
         return ba_step(
@@ -602,6 +814,7 @@ def bundle_adjust(
             fix_first_cam=fix_first_cam,
             solver=solver,
             cg_iters=cg_iters,
+            plan=plan,
         )
 
     return lax.fori_loop(0, n_iters, body, state)
