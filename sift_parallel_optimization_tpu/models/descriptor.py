@@ -8,11 +8,16 @@ scattered gathers:
   (scales and octaves stacked vertically, spatially padded so every patch
   window is in bounds and every patch origin can be aligned to the
   (8, 128) tile grid).
-* ONE Pallas DMA-gather (ops/patch_gather.py) pulls a (96, 256) patch per
-  keypoint straight from the keypoint's own (octave, scale) plane —
-  ~30x faster than the XLA gather a vmapped dynamic_slice lowers to, and
-  it removes the per-octave masked passes entirely (they re-sampled every
-  keypoint against every octave).
+* ONE Pallas DMA-gather (ops/patch_gather.py) pulls a (112, 256) patch
+  per keypoint straight from the keypoint's own (octave, scale) plane —
+  ~30x faster than the XLA gather a vmapped dynamic_slice lowers to —
+  and two batched hat-weight einsums resample all patches at once on the
+  MXU. A fully fused gather+resample kernel (ops/descriptor_fused.py,
+  patches never reach HBM) was built and measured SLOWER on chip
+  (0.29 vs 0.11 ms at K=512): 512 sequential grid steps of tiny
+  (18..26, 112) matmuls cannot beat one big batched einsum, and the
+  2-deep DMA pipeline hides the HBM round trip anyway. It stays
+  available via USE_FUSED_SAMPLING for the kernel study.
 * The sigma-proportional sample grid is AXIS-ALIGNED (rotation is applied
   to bin coordinates and gradient angles, not the sampling lattice), so
   resampling is two small batched matmuls against bilinear hat-weight
@@ -176,6 +181,79 @@ def _grid_gradients(samples: jax.Array):
     return gy, gx
 
 
+def _radii(sig_o: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-keypoint (orientation, descriptor) sample-grid radii, clamped
+    to the guaranteed patch coverage."""
+    rad_o = jnp.minimum(
+        ORI_RADIUS_FACTOR * ORI_SIGMA_FACTOR * sig_o, MAX_RADIUS - 1.0
+    )
+    rad_d = jnp.minimum(
+        DESC_BIN_SIGMA * sig_o * (2**0.5) * (DESC_WIDTH + 1) * 0.5,
+        MAX_RADIUS - 1.0,
+    )
+    return rad_o, rad_d
+
+
+USE_FUSED_SAMPLING = False  # fused kernel loses on chip; see module doc
+
+
+def _sample_grids(gauss_octaves: list[jax.Array], kp: Keypoints):
+    """Shared entry: one patch read per keypoint -> BOTH sample grids.
+
+    Default path everywhere: DMA-gathered patches + two batched
+    hat-weight einsums. With USE_FUSED_SAMPLING on TPU, the fused Pallas
+    kernel (ops/descriptor_fused.py) resamples in VMEM instead —
+    equivalent values (tools/tpu_sanity.py checks on hardware) but
+    measured 2.6x slower at K=512. Returns (samples_o (K,18,18),
+    samples_d (K,26,26), off_o (K,18), off_d (K,26), sig_o)."""
+    from sift_parallel_optimization_tpu.ops.descriptor_fused import (
+        DESC_GRID as _GD,
+        ORI_GRID as _GO,
+        gather_resample_pallas,
+    )
+
+    lin_o = jnp.linspace(-1.0, 1.0, _GO)
+    lin_d = jnp.linspace(-1.0, 1.0, _GD)
+    if USE_FUSED_SAMPLING and jax.default_backend() in ("tpu", "axon"):
+        atlas, meta = build_atlas(gauss_octaves)
+        o = jnp.clip(kp.octave, 0, len(gauss_octaves) - 1)
+        inv = jnp.exp2(-o.astype(jnp.float32))
+        y_o, x_o, sig_o = kp.y * inv, kp.x * inv, kp.sigma * inv
+        ya = y_o + ROW_PAD
+        xa = x_o + COL_PAD
+        hp = meta["hprime"][o]
+        wl = meta["wlim"][o]
+        ro = meta["row_off"][o]
+        y0l = jnp.clip(
+            (jnp.floor((ya - MAX_RADIUS) / 8.0) * 8).astype(jnp.int32),
+            0, hp - PATCH_ROWS,
+        )
+        x0 = jnp.clip(
+            (jnp.floor((xa - (MAX_RADIUS + 1.0)) / 128.0) * 128).astype(
+                jnp.int32
+            ),
+            0, wl,
+        )
+        grow = ro + kp.scale * hp + y0l
+        py = ya - y0l.astype(jnp.float32)
+        px = xa - x0.astype(jnp.float32)
+        rad_o, rad_d = _radii(sig_o)
+        params = jnp.zeros((kp.capacity, 128), jnp.float32)
+        params = params.at[:, 0].set(py).at[:, 1].set(px)
+        params = params.at[:, 2].set(rad_o).at[:, 3].set(rad_d)
+        samples_o, samples_d = gather_resample_pallas(
+            atlas, grow, x0, params
+        )
+    else:
+        patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
+        rad_o, rad_d = _radii(sig_o)
+        samples_o = _resample(patches, py, px, lin_o[None] * rad_o[:, None])
+        samples_d = _resample(patches, py, px, lin_d[None] * rad_d[:, None])
+    off_o = lin_o[None] * rad_o[:, None]
+    off_d = lin_d[None] * rad_d[:, None]
+    return samples_o, samples_d, off_o, off_d, sig_o
+
+
 def _smooth_hist_circular(hist: jax.Array, iters: int = 2) -> jax.Array:
     """[1,4,6,4,1]/16 circular smoothing along the last axis."""
     for _ in range(iters):
@@ -187,17 +265,11 @@ def _smooth_hist_circular(hist: jax.Array, iters: int = 2) -> jax.Array:
     return hist
 
 
-def _orientation_from_patches(patches, py, px, sig_o, kp: Keypoints):
-    """(K,) dominant orientation from shared keypoint patches."""
+def _orientation_from_samples(samples, offsets, sig_o, kp: Keypoints):
+    """(K,) dominant orientation from the shared (K, 18, 18) sample grid."""
     g = ORI_GRID
     k = kp.capacity
     win_sigma = ORI_SIGMA_FACTOR * sig_o
-    radius = ORI_RADIUS_FACTOR * win_sigma            # (K,)
-    radius = jnp.minimum(radius, MAX_RADIUS - 1.0)    # patch-coverage guard
-    lin = jnp.linspace(-1.0, 1.0, g)
-    offsets = lin[None, :] * radius[:, None]          # (K, G)
-
-    samples = _resample(patches, py, px, offsets)
     gy, gx = _grid_gradients(samples)                 # (K, g-2, g-2)
     mag = jnp.sqrt(gx * gx + gy * gy).reshape(k, -1)
     ang = jnp.arctan2(gy, gx).reshape(k, -1)
@@ -257,18 +329,12 @@ def _orientation_from_patches(patches, py, px, sig_o, kp: Keypoints):
     return theta1, theta2, second_ok
 
 
-def _descriptors_from_patches(patches, py, px, sig_o, theta, kp: Keypoints):
-    """(K, 128) raw descriptor histograms from shared keypoint patches."""
+def _descriptors_from_samples(samples, offsets, sig_o, theta, kp: Keypoints):
+    """(K, 128) raw descriptor histograms from the (K, 26, 26) samples."""
     d = DESC_WIDTH
     g = DESC_GRID
     k = kp.capacity
     bin_w = DESC_BIN_SIGMA * sig_o                    # (K,) pixels per bin
-    radius = bin_w * (2**0.5) * (d + 1) * 0.5
-    radius = jnp.minimum(radius, MAX_RADIUS - 1.0)    # patch-coverage guard
-    lin = jnp.linspace(-1.0, 1.0, g)
-    offsets = lin[None, :] * radius[:, None]          # (K, G)
-
-    samples = _resample(patches, py, px, offsets)
     gy, gx = _grid_gradients(samples)
     p = (g - 2) * (g - 2)
     mag = jnp.sqrt(gx * gx + gy * gy).reshape(k, p)
@@ -332,13 +398,13 @@ def orient_and_describe(
     the extra cost is one more descriptor-histogram pass. Downstream
     consumers need no changes — they are capacity-agnostic.
     """
-    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-    theta1, theta2, second_ok = _orientation_from_patches(
-        patches, py, px, sig_o, kp
+    s_o, s_d, off_o, off_d, sig_o = _sample_grids(gauss_octaves, kp)
+    theta1, theta2, second_ok = _orientation_from_samples(
+        s_o, off_o, sig_o, kp
     )
     kp1 = kp._replace(orientation=jnp.where(kp.valid, theta1, 0.0))
-    hist1 = _descriptors_from_patches(
-        patches, py, px, sig_o, kp1.orientation, kp1
+    hist1 = _descriptors_from_samples(
+        s_d, off_d, sig_o, kp1.orientation, kp1
     )
     desc1 = _normalize_desc(hist1, kp1.valid)
     if not dual_orientation:
@@ -348,8 +414,8 @@ def orient_and_describe(
     kp2 = kp._replace(
         orientation=jnp.where(valid2, theta2, 0.0), valid=valid2
     )
-    hist2 = _descriptors_from_patches(
-        patches, py, px, sig_o, kp2.orientation, kp2
+    hist2 = _descriptors_from_samples(
+        s_d, off_d, sig_o, kp2.orientation, kp2
     )
     desc2 = _normalize_desc(hist2, valid2)
     both = Keypoints(*[
@@ -366,10 +432,8 @@ def assign_orientations(
     One orientation per keypoint; use ``orient_and_describe`` with
     ``dual_orientation=True`` for Lowe's 80% secondary-peak duplicates.
     """
-    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-    theta, _theta2, _ok = _orientation_from_patches(
-        patches, py, px, sig_o, kp
-    )
+    s_o, _s_d, off_o, _off_d, sig_o = _sample_grids(gauss_octaves, kp)
+    theta, _theta2, _ok = _orientation_from_samples(s_o, off_o, sig_o, kp)
     return kp._replace(orientation=jnp.where(kp.valid, theta, 0.0))
 
 
@@ -377,8 +441,6 @@ def compute_descriptors(
     gauss_octaves: list[jax.Array], kp: Keypoints
 ) -> jax.Array:
     """(K, 128) L2-normalized, 0.2-clipped SIFT descriptors (Lowe 2004)."""
-    patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-    hist = _descriptors_from_patches(
-        patches, py, px, sig_o, kp.orientation, kp
-    )
+    _s_o, s_d, _off_o, off_d, sig_o = _sample_grids(gauss_octaves, kp)
+    hist = _descriptors_from_samples(s_d, off_d, sig_o, kp.orientation, kp)
     return _normalize_desc(hist, kp.valid)
