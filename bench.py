@@ -40,12 +40,49 @@ CHAIN_LO = 50
 CHAIN_HI = 400
 
 
+def _run_hardware_sanity() -> None:
+    """When a real chip is present, run tools/tpu_sanity.py first and save
+    its output next to the bench result (SANITY_latest.txt). The bf16
+    matmul-precision bug hid for most of round 1 because nothing ran the
+    hardware checks automatically; now every bench run does. Failures are
+    reported on stderr but do not abort the bench (stdout stays one JSON
+    line)."""
+    import contextlib
+    import io
+    import os
+    import sys
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    try:
+        import tpu_sanity
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = tpu_sanity.main()
+        out = buf.getvalue()
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SANITY_latest.txt"), "w"
+        ) as f:
+            f.write(out)
+        if rc != 0:
+            print("tpu_sanity FAILURES:\n" + out, file=sys.stderr)
+    except Exception as e:  # sanity must never take the bench down
+        print(f"tpu_sanity skipped: {e}", file=sys.stderr)
+
+
 def main() -> None:
     from jax import lax
 
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
         reference_dog_pyramid,
     )
+
+    _run_hardware_sanity()
 
     img = jnp.asarray(
         np.random.default_rng(0).random((SIZE, SIZE), np.float32)

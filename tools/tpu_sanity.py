@@ -47,6 +47,62 @@ def main() -> int:
     b = extract_atlas_patches_slice(atlas, ys, xs, 112, 256)
     check("pallas DMA gather bit-equal", bool(jnp.all(a == b)))
 
+    # 1b. Batch-aware (frame, keypoint)-grid DMA gather == vmapped slices
+    #     (the DP frontend path, dispatched through custom_vmap).
+    from sift_parallel_optimization_tpu.ops.patch_gather import (
+        extract_atlas_patches,
+    )
+
+    atl_b = jnp.asarray(rng.random((4, 1024, 768), np.float32))
+    ys_b = jnp.asarray(
+        rng.integers(0, (1024 - 112) // 8, (4, 64)) * 8, jnp.int32
+    )
+    xs_b = jnp.asarray(
+        rng.integers(0, (768 - 256) // 128, (4, 64)) * 128, jnp.int32
+    )
+    ab = jax.vmap(
+        lambda at, y, x: extract_atlas_patches(at, y, x, 112, 256)
+    )(atl_b, ys_b, xs_b)
+    bb = jax.vmap(
+        lambda at, y, x: extract_atlas_patches_slice(at, y, x, 112, 256)
+    )(atl_b, ys_b, xs_b)
+    check("batched DMA gather bit-equal", bool(jnp.all(ab == bb)))
+
+    # 1c. Fused gather+resample kernel vs patches + einsum resample.
+    #     (Mosaic matmuls run true f32; the jnp path uses the backend's
+    #     default bf16 matmul precision — hence the loose tolerance.)
+    from sift_parallel_optimization_tpu.models import descriptor as D
+    from sift_parallel_optimization_tpu.ops.descriptor_fused import (
+        DESC_GRID,
+        ORI_GRID,
+        gather_resample_pallas,
+    )
+
+    kf = 32
+    f_grow = jnp.asarray(rng.integers(0, (1024 - 112) // 8, kf) * 8,
+                         jnp.int32)
+    f_x0 = jnp.asarray(rng.integers(0, (768 - 256) // 128, kf) * 128,
+                       jnp.int32)
+    f_py = jnp.asarray(40.0 + 30.0 * rng.random(kf), jnp.float32)
+    f_px = jnp.asarray(100.0 + 50.0 * rng.random(kf), jnp.float32)
+    f_ro = jnp.asarray(5.0 + 30.0 * rng.random(kf), jnp.float32)
+    f_rd = jnp.asarray(5.0 + 40.0 * rng.random(kf), jnp.float32)
+    prm = jnp.zeros((kf, 128), jnp.float32)
+    prm = prm.at[:, 0].set(f_py).at[:, 1].set(f_px)
+    prm = prm.at[:, 2].set(f_ro).at[:, 3].set(f_rd)
+    so, sd = gather_resample_pallas(atlas, f_grow, f_x0, prm)
+    pt = extract_atlas_patches_pallas(atlas, f_grow, f_x0, 112, 256)
+    lin_o = jnp.linspace(-1.0, 1.0, ORI_GRID)
+    lin_d = jnp.linspace(-1.0, 1.0, DESC_GRID)
+    r_o = D._resample(pt, f_py, f_px, lin_o[None] * f_ro[:, None])
+    r_d = D._resample(pt, f_py, f_px, lin_d[None] * f_rd[:, None])
+    err = max(
+        float(jnp.max(jnp.abs(so - r_o))), float(jnp.max(jnp.abs(sd - r_d)))
+    )
+    scale = float(jnp.max(jnp.abs(r_d))) + 1e-9
+    check("fused gather+resample vs jnp", err < 1e-2 * scale,
+          f"maxerr={err:.2e}")
+
     # 2. Pyramid parity vs the NumPy float64 oracle (catches precision
     #    regressions in the Toeplitz blur path).
     from sift_parallel_optimization_tpu.core.numpy_golden import (
