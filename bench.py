@@ -24,7 +24,6 @@ Prints exactly one JSON line.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -76,10 +75,11 @@ def _run_hardware_sanity() -> None:
 
 
 def main() -> None:
-    from jax import lax
-
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
         reference_dog_pyramid,
+    )
+    from sift_parallel_optimization_tpu.utils.profiling import (
+        chained_slope_ms,
     )
 
     _run_hardware_sanity()
@@ -88,27 +88,23 @@ def main() -> None:
         np.random.default_rng(0).random((SIZE, SIZE), np.float32)
     )
 
-    def chained_total_ms(chain: int) -> float:
-        @jax.jit
-        def chained(x):
-            def body(c, _):
-                out = reference_dog_pyramid(c, S)
-                dep = sum(o.sum() for o in out)
-                return c + 1e-30 * dep, None
-            c, _ = lax.scan(body, x, None, length=chain)
-            return c.sum()
+    def step(x):
+        out = reference_dog_pyramid(x, S)
+        return sum(o.sum() for o in out)
 
-        float(chained(img))  # compile + warm
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(chained(img))  # scalar fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
-
-    lo = chained_total_ms(CHAIN_LO)
-    hi = chained_total_ms(CHAIN_HI)
-    ms = max((hi - lo) / (CHAIN_HI - CHAIN_LO), 1e-6)
+    # Hardened estimator (round-1 reconciliation): the hi-chain total is
+    # stretched to >= 60 ms so the relay's variable round trip (~0.1-32 ms)
+    # is < a few % of the measured total, and the reported value is the
+    # median of 3 independent slopes. At chain_hi=400 (round 1) a single
+    # slope sampled anywhere in 0.015-0.029 ms for the same binary —
+    # BENCH_r01's "regression" vs BASELINE.md was estimator variance.
+    ms = max(
+        chained_slope_ms(
+            step, img, chain_lo=CHAIN_LO, chain_hi=CHAIN_HI,
+            repeats=5, median_of=3, min_hi_total_ms=60.0,
+        ),
+        1e-6,
+    )
 
     print(
         json.dumps(

@@ -163,13 +163,27 @@ def _cmd_sfm(args) -> int:
             lambda x: extract_features(x, cfg, 256, dual_orientation=True)
         )
         feats = [fe(jnp.asarray(im)) for im in imgs]
-        m = run_sfm(jax.random.key(args.seed), feats, K)
-        print(f"cameras: {int(m.cam_valid.sum())}/{len(imgs)}  "
-              f"landmarks: {int(m.pt_valid.sum())}  "
-              f"observations: {int(m.obs.valid.sum())}")
+        if args.window:
+            from sift_parallel_optimization_tpu.models.odometry import (
+                run_odometry,
+            )
+
+            traj, m = run_odometry(
+                jax.random.key(args.seed), feats, K, window=args.window
+            )
+            est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
+            print(f"window odometry (W={args.window}): "
+                  f"{len(imgs)} frames, "
+                  f"{int(m.pt_valid.sum())} live landmarks")
+        else:
+            m = run_sfm(jax.random.key(args.seed), feats, K)
+            est_rvecs, est_tvecs = m.rvecs, m.tvecs
+            print(f"cameras: {int(m.cam_valid.sum())}/{len(imgs)}  "
+                  f"landmarks: {int(m.pt_valid.sum())}  "
+                  f"observations: {int(m.obs.valid.sum())}")
         print(f"reprojection RMS: "
               f"{float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
-        c = np.asarray(m.tvecs)[np.asarray(m.cam_valid)]
+        c = np.asarray(est_tvecs)
         print(f"trajectory extent: {np.ptp(c, axis=0).round(3).tolist()}")
         if args.groundtruth:
             # TUM-format gate: associate frames (named by timestamp) with
@@ -190,7 +204,7 @@ def _cmd_sfm(args) -> int:
             if len(ia) < 3:
                 print(f"only {len(ia)} frame<->gt associations; no ATE")
                 return 1
-            est = np.asarray(camera_centers(m.rvecs, m.tvecs))[ia]
+            est = np.asarray(camera_centers(est_rvecs, est_tvecs))[ia]
             gt = gt_centers[ib]
             ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
             span = float(np.linalg.norm(np.ptp(gt, axis=0)))
@@ -223,12 +237,25 @@ def _cmd_sfm(args) -> int:
             size, gt_rvecs[i], gt_tvecs[i], focal, seed=args.seed
         )
         feats.append(fe(jnp.asarray(img)))
-    m = run_sfm(jax.random.key(args.seed), feats, K)
-    print(f"cameras: {int(m.cam_valid.sum())}/{args.frames}  "
-          f"landmarks: {int(m.pt_valid.sum())}  "
-          f"observations: {int(m.obs.valid.sum())}")
+    if args.window:
+        from sift_parallel_optimization_tpu.models.odometry import (
+            run_odometry,
+        )
+
+        traj, m = run_odometry(
+            jax.random.key(args.seed), feats, K, window=args.window
+        )
+        est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
+        print(f"window odometry (W={args.window}): {args.frames} frames, "
+              f"{int(m.pt_valid.sum())} live landmarks")
+    else:
+        m = run_sfm(jax.random.key(args.seed), feats, K)
+        est_rvecs, est_tvecs = m.rvecs, m.tvecs
+        print(f"cameras: {int(m.cam_valid.sum())}/{args.frames}  "
+              f"landmarks: {int(m.pt_valid.sum())}  "
+              f"observations: {int(m.obs.valid.sum())}")
     print(f"reprojection RMS: {float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
-    est = camera_centers(m.rvecs, m.tvecs)
+    est = camera_centers(est_rvecs, est_tvecs)
     gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
     ate = float(ate_rmse(est, gt))
     span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
@@ -320,6 +347,10 @@ def main(argv=None) -> int:
                    help="focal length in px (default: image side)")
     s.add_argument("--groundtruth", default=None,
                    help="TUM-format trajectory file to gate ATE against")
+    s.add_argument("--window", type=int, default=0,
+                   help="sliding-window odometry with this window size "
+                        "(0 = full incremental SfM; O(window) memory for "
+                        "long sequences)")
     s.add_argument("--max-dt", type=float, default=0.02,
                    help="max timestamp gap for frame<->gt association (s)")
     s.set_defaults(fn=_cmd_sfm)

@@ -23,6 +23,10 @@ from sift_parallel_optimization_tpu.models.pose_graph import (  # noqa: F401
     Poses,
     optimize_pose_graph,
 )
+from sift_parallel_optimization_tpu.models.odometry import (  # noqa: F401
+    Trajectory,
+    run_odometry,
+)
 from sift_parallel_optimization_tpu.models.sfm import (  # noqa: F401
     SfmMap,
     run_sfm,

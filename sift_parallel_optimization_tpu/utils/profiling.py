@@ -49,6 +49,8 @@ def chained_slope_ms(
     chain_lo: int = 50,
     chain_hi: int = 400,
     repeats: int = 4,
+    median_of: int = 1,
+    min_hi_total_ms: float | None = None,
 ) -> float:
     """Honest per-iteration device ms for ``step`` (an array -> scalar fn).
 
@@ -58,10 +60,22 @@ def chained_slope_ms(
     fixed round-trip/dispatch overhead cancels exactly. This is the only
     reliable kernel timer under the axon relay, where `block_until_ready`
     returns before device work finishes.
+
+    Two robustness knobs for fast ops, where the relay's variable
+    ~0.1-32 ms round trip rivals the chain totals themselves (round-1's
+    "headline regression" was EXACTLY this — samples of one bench swing
+    0.015-0.025 ms at chain_hi=400):
+
+    * ``min_hi_total_ms``: after a pilot measurement, stretch both chain
+      lengths so the hi-chain total is at least this many ms — slope
+      noise falls as 1/chain. The scan is compiled once per length, so
+      longer chains cost runtime only (~no extra compile).
+    * ``median_of``: take the median of several independent slope
+      estimates (each best-of-``repeats``), rejecting residual outliers.
     """
     from jax import lax
 
-    def total_ms(chain: int) -> float:
+    def make(chain: int):
         @jax.jit
         def chained(x):
             def body(c, _):
@@ -69,7 +83,10 @@ def chained_slope_ms(
             c, _ = lax.scan(body, x, None, length=chain)
             return c.sum()
 
-        float(chained(example))
+        float(chained(example))  # compile + warm
+        return chained
+
+    def total_ms(chained) -> float:
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -77,10 +94,22 @@ def chained_slope_ms(
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 
-    return max(
-        (total_ms(chain_hi) - total_ms(chain_lo)) / (chain_hi - chain_lo),
-        0.0,
-    )
+    if min_hi_total_ms is not None:
+        pilot = make(chain_hi)
+        t = total_ms(pilot)
+        if t < min_hi_total_ms:
+            scale = int(min_hi_total_ms / max(t, 1e-3)) + 1
+            chain_lo, chain_hi = chain_lo * scale, chain_hi * scale
+
+    lo_fn, hi_fn = make(chain_lo), make(chain_hi)
+    slopes = []
+    for _ in range(max(median_of, 1)):
+        slopes.append(
+            max((total_ms(hi_fn) - total_ms(lo_fn)) / (chain_hi - chain_lo),
+                0.0)
+        )
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 @contextlib.contextmanager

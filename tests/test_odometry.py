@@ -1,0 +1,170 @@
+"""Sliding-window odometry: constant-memory long-sequence tracking.
+
+Validates the eviction shift (block relabeling + invalidation), that the
+window map's capacities depend only on the window size, and the
+end-to-end accuracy of the windowed pipeline on a rendered sequence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_parallel_optimization_tpu.models.ba import Observations
+from sift_parallel_optimization_tpu.models.odometry import (
+    run_odometry,
+    shift_window,
+)
+from sift_parallel_optimization_tpu.models.sfm import SfmMap, empty_map
+
+
+def _toy_map(W=3, B=2):
+    """A window map with distinguishable per-slot content."""
+    m = empty_map(W, B, max_loops=0)
+    C, P, M = W, W * B, 3 * W * B
+    obs = Observations(
+        cam_idx=jnp.arange(M, dtype=jnp.int32) % C,
+        pt_idx=jnp.arange(M, dtype=jnp.int32) % P,
+        uv=jnp.arange(2 * M, dtype=jnp.float32).reshape(M, 2),
+        valid=jnp.ones(M, bool),
+    )
+    return SfmMap(
+        rvecs=jnp.arange(3 * C, dtype=jnp.float32).reshape(C, 3),
+        tvecs=-jnp.arange(3 * C, dtype=jnp.float32).reshape(C, 3),
+        cam_valid=jnp.ones(C, bool),
+        points=jnp.arange(3 * P, dtype=jnp.float32).reshape(P, 3),
+        pt_valid=jnp.ones(P, bool),
+        pt_desc=jnp.arange(P, dtype=jnp.float32)[:, None]
+        * jnp.ones((P, 128), jnp.float32),
+        obs=obs,
+    )
+
+
+def test_shift_moves_blocks_and_relabels():
+    W, B = 3, 2
+    m = _toy_map(W, B)
+    s = shift_window(m, B)
+
+    # Cameras shift down one slot; the freed slot is invalid.
+    np.testing.assert_allclose(np.asarray(s.rvecs[:-1]), np.asarray(m.rvecs[1:]))
+    assert not bool(s.cam_valid[-1])
+    assert bool(s.cam_valid[0])
+
+    # Point blocks shift down B; the last block is freed.
+    np.testing.assert_allclose(
+        np.asarray(s.points[: (W - 1) * B]), np.asarray(m.points[B:])
+    )
+    assert not bool(s.pt_valid[-1])
+    np.testing.assert_allclose(
+        np.asarray(s.pt_desc[: (W - 1) * B]), np.asarray(m.pt_desc[B:])
+    )
+
+    # Observation blocks shift down 3B with indices decremented; rows that
+    # referenced camera 0 or point block 0 are invalidated.
+    old = m.obs
+    new = s.obs
+    k = 3 * B
+    kept = np.asarray(old.valid[k:] & (old.cam_idx[k:] >= 1)
+                      & (old.pt_idx[k:] >= B))
+    np.testing.assert_array_equal(np.asarray(new.valid[: -k]), kept)
+    sel = np.nonzero(kept)[0]
+    np.testing.assert_array_equal(
+        np.asarray(new.cam_idx)[sel], np.asarray(old.cam_idx[k:])[sel] - 1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new.pt_idx)[sel], np.asarray(old.pt_idx[k:])[sel] - B
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.uv[: -k]), np.asarray(old.uv[k:])
+    )
+    # Freed tail region is invalid.
+    assert not bool(new.valid[-k:].any())
+
+
+def test_shift_is_idempotent_on_empty():
+    m = empty_map(4, 3, max_loops=0)
+    s = shift_window(m, 3)
+    assert not bool(s.cam_valid.any())
+    assert not bool(s.obs.valid.any())
+
+
+class TestRenderedOdometry:
+    """End-to-end on the native renderer (shared fixture at class scope)."""
+
+    size, n_frames, window = 256, 12, 6
+
+    @pytest.fixture(scope="class")
+    def sequence(self):
+        from sift_parallel_optimization_tpu.models.frontend import (
+            extract_features,
+            sift_config,
+        )
+        from sift_parallel_optimization_tpu.utils import native
+
+        if not native.available():
+            pytest.skip("native renderer unavailable")
+        size, n_frames = self.size, self.n_frames
+        focal = float(size)
+        cfg = sift_config(size)
+        K = jnp.array(
+            [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+            jnp.float32,
+        )
+        gt_rvecs = np.stack(
+            [[0.0, 0.02 * i, 0.002 * i] for i in range(n_frames)]
+        ).astype(np.float32)
+        gt_tvecs = np.stack(
+            [[-0.22 * i, 0.01 * i, 0.03 * i] for i in range(n_frames)]
+        ).astype(np.float32)
+        fe = jax.jit(
+            lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+        )
+        feats = [
+            fe(jnp.asarray(native.render_frame(
+                size, gt_rvecs[i], gt_tvecs[i], focal, seed=3)))
+            for i in range(n_frames)
+        ]
+        return feats, K, gt_rvecs, gt_tvecs
+
+    @pytest.mark.slow
+    def test_windowed_ate_bounded(self, sequence):
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            ate_rmse,
+            camera_centers,
+        )
+
+        feats, K, gt_rvecs, gt_tvecs = sequence
+        traj, m = run_odometry(
+            jax.random.key(1), feats, K, window=self.window,
+        )
+        # Constant-memory guarantee: capacities track the WINDOW, not n.
+        assert m.rvecs.shape[0] == self.window
+        assert m.points.shape[0] == self.window * 128
+        assert traj.rvecs.shape == (self.n_frames, 3)
+
+        est = camera_centers(traj.rvecs, traj.tvecs)
+        gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+        ate = float(ate_rmse(est, gt))
+        span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+        # Windowed odometry (no global BA, no loop closure) drifts more
+        # than full SfM; demand < 10% of span (full SfM gates 5%).
+        assert ate < 0.10 * span, f"ATE {ate} over span {span}"
+
+    @pytest.mark.slow
+    def test_full_window_matches_global_sfm_class(self, sequence):
+        """window >= n never evicts: accuracy should match plain SfM's
+        gate (same map capacity story as run_sfm without loop closure)."""
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            ate_rmse,
+            camera_centers,
+        )
+
+        feats, K, gt_rvecs, gt_tvecs = sequence
+        traj, m = run_odometry(
+            jax.random.key(1), feats, K, window=self.n_frames,
+        )
+        est = camera_centers(traj.rvecs, traj.tvecs)
+        gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+        ate = float(ate_rmse(est, gt))
+        span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+        assert ate < 0.05 * span, f"ATE {ate} over span {span}"
