@@ -20,14 +20,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from sift_parallel_optimization_tpu.config import PyramidConfig
-from sift_parallel_optimization_tpu.models.keypoints import (
-    Keypoints,
-    concat_keypoints,
-    top_k_keypoints,
-)
+from sift_parallel_optimization_tpu.models.keypoints import Keypoints
 
 # Detection thresholds (standard SIFT values for images scaled to [0, 1]).
 CONTRAST_THRESHOLD = 0.04
@@ -91,26 +88,21 @@ def _solve3(h, g):
     return off_s, off_y, off_x, det
 
 
-def detect_octave(
+def _dense_fields(
     dog: jax.Array,
-    octave: int,
     cfg: PyramidConfig,
-    capacity: int,
-    contrast_threshold: float = CONTRAST_THRESHOLD,
-    edge_ratio: float = EDGE_RATIO,
-    refine_iters: int = 2,
-) -> Keypoints:
-    """(S+2, H, W) DoG stack of one octave -> Keypoints with ``capacity`` slots.
+    contrast_threshold: float,
+    edge_ratio: float,
+    refine_iters: int,
+):
+    """Dense per-voxel stage shared by the single- and batched-octave paths.
 
-    Coordinates/sigma are returned in ORIGINAL image units (scaled by 2^octave).
-
-    ``refine_iters`` > 0 enables iterative subpixel refinement (Brown &
-    Lowe / OpenCV): a candidate whose quadratic fit lands further than
-    MAX_REFINE_OFFSET from its voxel is re-fit at the neighbor voxel the
-    fit points to, up to ``refine_iters`` hops — recovering the ~7% of
-    true keypoints the single-shot offset gate rejects. The hops are
-    SPARSE (flat gathers on the already-dense offset fields for just the
-    top-k candidates), so the dense stencil work is unchanged.
+    (S+2, H, W) DoG -> interior (S, H-2, W-2) fields:
+    ``(score, off_s, off_y, off_x, d_gate)``. ``score`` is the top-k ranking
+    key (0 where not a candidate); ``d_gate`` folds the edge + contrast
+    gates into one signed contrast value (negative = rejected) so the
+    post-refinement acceptance costs one gather instead of two. ``d_gate``
+    is a dummy zero array when ``refine_iters`` is 0.
     """
     dog = dog.astype(jnp.float32)
     is_max, is_min = _window_extrema(dog)
@@ -118,7 +110,7 @@ def detect_octave(
     off_s, off_y, off_x, _det3 = _solve3(h, g)
     c = dog[1:-1, 1:-1, 1:-1]
     gs, gy, gx = g
-    hss, hyy, hxx, hsy, hsx, hyx = h
+    _hss, hyy, hxx, _hsy, _hsx, hyx = h
 
     # Refined contrast |D_hat| = |D + 1/2 g . offset|.
     d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
@@ -130,11 +122,6 @@ def detect_octave(
         tr * tr * edge_ratio < (edge_ratio + 1) ** 2 * det2
     )
 
-    off_ok = (
-        (jnp.abs(off_s) < MAX_REFINE_OFFSET)
-        & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
-        & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
-    )
     # Lowe/OpenCV convention: the usable threshold scales with the number
     # of intervals (DoG plane spacing shrinks as S grows).
     thr = contrast_threshold / cfg.S
@@ -149,7 +136,15 @@ def detect_octave(
         )
         good = (is_max | is_min) & (jnp.abs(d_rank) > thr) & edge_ok
         score = jnp.where(good, jnp.abs(d_rank), 0.0)
+        d_gate = jnp.where(
+            edge_ok & (jnp.abs(d_hat) > thr), jnp.abs(d_hat), -1.0
+        )
     else:
+        off_ok = (
+            (jnp.abs(off_s) < MAX_REFINE_OFFSET)
+            & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
+            & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
+        )
         good = (
             (is_max | is_min)
             & (jnp.abs(d_hat) > thr)
@@ -157,60 +152,190 @@ def detect_octave(
             & off_ok
         )
         score = jnp.where(good, jnp.abs(d_hat), 0.0)
+        d_gate = jnp.zeros_like(score)
+    return score, off_s, off_y, off_x, d_gate
 
-    # Static-shape extraction: top-k over the flattened interior. On TPU,
-    # approx_max_k (tiled two-stage reduction) is ~200x faster than the
-    # exact sort-based top_k at these sizes; exact top_k elsewhere keeps
-    # CPU tests deterministic. recall_target=0.99 bounds the TPU-vs-CPU
-    # top-k divergence to ~1% of true candidates (a backend-divergence
-    # class guarded on hardware by tools/tpu_sanity.py).
-    ds, hs, ws = score.shape
-    flat = score.reshape(-1)
-    k = min(capacity, flat.shape[0])
-    if jax.default_backend() in ("tpu", "axon") and flat.shape[0] >= 4096:
-        vals, idx = lax.approx_max_k(flat, k, recall_target=0.99)
+
+def detect_octave_groups(
+    groups: list[list[tuple[int, jax.Array]]],
+    cfg: PyramidConfig,
+    capacity: int,
+    contrast_threshold: float = CONTRAST_THRESHOLD,
+    edge_ratio: float = EDGE_RATIO,
+    refine_iters: int = 1,
+) -> Keypoints:
+    """Detect over a whole pyramid in ONE fused program -> ``capacity``
+    keypoint slots SHARED across all octaves (global top-k by ranking
+    score).
+
+    ``groups`` is a list of octave groups, each group a list of
+    ``(octave_id, dog)`` pairs. Octaves within a group are zero-padded to
+    a common canvas and their dense stage is vmapped; groups exist so that
+    LARGE octaves (where dense work dominates) keep their native size
+    while the small tail shares one canvas. All groups' flattened fields
+    are then concatenated for a single top-k and a single sparse
+    refinement stage.
+
+    Why: on TPU a per-octave detect call has a fixed overhead floor
+    (~35-80 us of kernel launches, top-k and sparse gathers) regardless of
+    octave size — measured at 512^2 the five tail octaves (<=128^2) cost
+    0.256 ms of which almost none is compute. This design pays the dense
+    stencils per GROUP (trivial FLOPs) and everything downstream exactly
+    once for the whole pyramid.
+
+    The shared capacity is not a quality loss vs per-octave capacities:
+    the final selection is a top-k over all octaves with the same ranking
+    key either way, so any candidate dropped here has >= ``capacity``
+    better candidates and could never appear in the final set. It is also
+    a perf requirement: top-k must be ONE flat 1-D ``approx_max_k`` — the
+    batched (B, V) form hits a slow lowering (measured 0.044 ms 1-D vs
+    0.44 ms for (1, V) on v5e).
+
+    Correctness under padding: candidate voxels are masked to each
+    octave's true interior BEFORE top-k, so a padded voxel can never rank;
+    refinement hops clip to per-octave interior limits, so a hop can never
+    land in a padded voxel either. With exact top-k and fewer than
+    ``capacity`` total candidates this selects exactly the union of the
+    per-octave valid sets (tested in tests/test_detect.py).
+
+    Sparse lookups keep the measured v5e gather-shape rule: sources are
+    flattened to ONE (sum V,) array indexed by flat candidate indices, so
+    every gather stays scalar 1-D -> 1-D (a (B, V)[rows, idx] batched
+    gather costs 20-30x more). Per-octave dims/limits arrive via scalar
+    gathers on tiny (n_octaves,) arrays.
+    """
+    assert groups and all(groups)
+    ds2 = groups[0][0][1].shape[0]
+    seg_score, seg_offs, seg_offy, seg_offx, seg_gate = [], [], [], [], []
+    # Per-octave metadata (numpy, static): flat base offset, padded dims
+    # for unravel, true interior limits for hop clipping, octave id.
+    m_base, m_hs, m_ws, m_ly, m_lx, m_oct = [], [], [], [], [], []
+    base = 0
+    ds = None
+    for grp in groups:
+        assert all(d.shape[0] == ds2 for _, d in grp), "octaves must share S"
+        hp = max(d.shape[1] for _, d in grp)
+        wp = max(d.shape[2] for _, d in grp)
+        stack = jnp.stack([
+            jnp.pad(d, ((0, 0), (0, hp - d.shape[1]), (0, wp - d.shape[2])))
+            for _, d in grp
+        ])
+        score, off_s, off_y, off_x, d_gate = jax.vmap(
+            lambda d: _dense_fields(
+                d, cfg, contrast_threshold, edge_ratio, refine_iters
+            )
+        )(stack)
+        ds, hs, ws = score.shape[1:]
+        if any(d.shape != grp[0][1].shape for _, d in grp):
+            # Mask padded voxels out of the candidate set. True interior
+            # rows of an (s2, h, w) octave are [0, h-3] in interior coords.
+            h_real = np.array([d.shape[1] for _, d in grp], np.int32)
+            w_real = np.array([d.shape[2] for _, d in grp], np.int32)
+            iy = lax.broadcasted_iota(jnp.int32, score.shape, 2)
+            ix = lax.broadcasted_iota(jnp.int32, score.shape, 3)
+            inb = (iy < jnp.asarray(h_real)[:, None, None, None] - 2) & (
+                ix < jnp.asarray(w_real)[:, None, None, None] - 2
+            )
+            score = jnp.where(inb, score, 0.0)
+            if refine_iters:
+                d_gate = jnp.where(inb, d_gate, -1.0)
+        v = ds * hs * ws
+        for j, (o, d) in enumerate(grp):
+            m_base.append(base + j * v)
+            m_hs.append(hs)
+            m_ws.append(ws)
+            m_ly.append(d.shape[1] - 3)
+            m_lx.append(d.shape[2] - 3)
+            m_oct.append(o)
+        base += len(grp) * v
+        seg_score.append(score.reshape(-1))
+        seg_offs.append(off_s.reshape(-1))
+        seg_offy.append(off_y.reshape(-1))
+        seg_offx.append(off_x.reshape(-1))
+        seg_gate.append(d_gate.reshape(-1))
+
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
+    flat_score = cat(seg_score)
+    off_fs, off_fy, off_fx = cat(seg_offs), cat(seg_offy), cat(seg_offx)
+    d_gate = cat(seg_gate)
+    n_total = base
+
+    # Static-shape extraction: ONE flat 1-D top-k over all octaves'
+    # flattened interiors. On TPU, approx_max_k (tiled two-stage
+    # reduction) is ~200x faster than the exact sort-based top_k at these
+    # sizes — but ONLY in its 1-D form (see docstring); exact top_k
+    # elsewhere keeps CPU tests deterministic. recall_target=0.99 bounds
+    # the TPU-vs-CPU top-k divergence to ~1% of true candidates (guarded
+    # on hardware by tools/tpu_sanity.py).
+    k = min(capacity, n_total)
+    if jax.default_backend() in ("tpu", "axon") and n_total >= 4096:
+        vals, idx = lax.approx_max_k(flat_score, k, recall_target=0.99)
     else:
-        vals, idx = lax.top_k(flat, k)
-    if vals.shape[0] < capacity:  # tiny octave: pad up to capacity
-        pad = capacity - vals.shape[0]
-        vals = jnp.pad(vals, (0, pad))
-        idx = jnp.pad(idx, (0, pad))
-    s_i = idx // (hs * ws)
-    y_i = (idx // ws) % hs
-    x_i = idx % ws
+        vals, idx = lax.top_k(flat_score, k)
+    if k < capacity:  # tiny pyramid: pad up to capacity
+        vals = jnp.pad(vals, (0, capacity - k))
+        idx = jnp.pad(idx, (0, capacity - k))
+
+    # Per-candidate octave + in-octave voxel coords from the flat index.
+    n_oct = len(m_base)
+    if n_oct == 1:
+        hs_c, ws_c = m_hs[0], m_ws[0]
+        base_c = 0
+        lim_y, lim_x = m_ly[0], m_lx[0]
+        rem = idx
+    else:
+        # Octave of each candidate: segment bases are sorted ascending, so
+        # count how many bases the index has passed (tiny (K, n_oct)
+        # compare — cheaper than any gather-based search).
+        bases = jnp.asarray(np.asarray(m_base, np.int32))
+        j_i = jnp.sum(idx[:, None] >= bases[None, :], axis=1) - 1
+        take = lambda m: jnp.asarray(np.asarray(m, np.int32))[j_i]
+        base_c = bases[j_i]
+        hs_c, ws_c = take(m_hs), take(m_ws)
+        lim_y, lim_x = take(m_ly), take(m_lx)
+        rem = idx - base_c
+    s_i = rem // (hs_c * ws_c)
+    y_i = (rem // ws_c) % hs_c
+    x_i = rem % ws_c
     if refine_iters:
-        # Sparse neighbor-hop refinement on the K candidates: gather the
+        # Sparse neighbor-hop refinement on the candidates: gather the
         # (already computed) dense quadratic fit at each candidate's voxel,
         # hop one voxel toward the fit when it escapes the trust region,
-        # re-gather, repeat. Pure flat takes — K is tiny.
-        offs = jnp.stack(
-            [off_s.reshape(-1), off_y.reshape(-1), off_x.reshape(-1)]
-        )                                             # (3, V)
-        pos = jnp.stack([s_i, y_i, x_i])              # (3, K)
-        lims = jnp.array([ds - 1, hs - 1, ws - 1], jnp.int32)[:, None]
+        # re-gather, repeat. One hop recovers essentially all the benefit:
+        # measured on chip over 4 synthetic frames, refine=1 matched
+        # refine=3 on 3/4 frames and was one keypoint short on the 4th,
+        # while each extra iteration costs ~0.09 ms of serial gather
+        # latency — hence the default of 1.
+        ps, py, px = s_i, y_i, x_i
+
+        def hop(p, o, lim, conv):
+            step = jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32)
+            return jnp.where(conv, p, jnp.clip(p + step, 0, lim))
+
         for _ in range(refine_iters):
-            flat = (pos[0] * hs + pos[1]) * ws + pos[2]
-            o = offs[:, flat]                         # (3, K)
-            conv = jnp.all(jnp.abs(o) <= MAX_REFINE_OFFSET, axis=0)
-            shift = jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32)
-            pos = jnp.where(
-                conv[None, :], pos, jnp.clip(pos + shift, 0, lims)
+            flat = base_c + (ps * hs_c + py) * ws_c + px
+            os_, oy, ox = off_fs[flat], off_fy[flat], off_fx[flat]
+            conv = (
+                (jnp.abs(os_) <= MAX_REFINE_OFFSET)
+                & (jnp.abs(oy) <= MAX_REFINE_OFFSET)
+                & (jnp.abs(ox) <= MAX_REFINE_OFFSET)
             )
-        flat = (pos[0] * hs + pos[1]) * ws + pos[2]
-        fs, fy, fx = offs[0, flat], offs[1, flat], offs[2, flat]
-        s_i, y_i, x_i = pos[0], pos[1], pos[2]
-        d_f = jnp.abs(d_hat.reshape(-1)[flat])
-        edge_f = edge_ok.reshape(-1)[flat]
+            ps = hop(ps, os_, ds - 1, conv)
+            py = hop(py, oy, lim_y, conv)
+            px = hop(px, ox, lim_x, conv)
+        flat = base_c + (ps * hs_c + py) * ws_c + px
+        fs, fy, fx = off_fs[flat], off_fy[flat], off_fx[flat]
+        d_f = d_gate[flat]
+        s_i, y_i, x_i = ps, py, px
         off_ok_f = (
             (jnp.abs(fs) < MAX_REFINE_OFFSET)
             & (jnp.abs(fy) < MAX_REFINE_OFFSET)
             & (jnp.abs(fx) < MAX_REFINE_OFFSET)
         )
-        valid = (vals > 0) & off_ok_f & (d_f > thr) & edge_f
+        valid = (vals > 0) & off_ok_f & (d_f > 0)
         vals = jnp.where(valid, d_f, 0.0)
     else:
-        take = lambda a: a.reshape(-1)[idx]
-        fs, fy, fx = take(off_s), take(off_y), take(off_x)
+        fs, fy, fx = off_fs[idx], off_fy[idx], off_fx[idx]
         valid = vals > 0
 
     # +1: interior offset from the VALID window; coords in octave pixels.
@@ -218,7 +343,12 @@ def detect_octave(
     y_o = y_i.astype(jnp.float32) + 1.0 + fy
     s_o = s_i.astype(jnp.float32) + 1.0 + fs  # DoG plane index (1..S)
 
-    scale_mult = float(2**octave)
+    if n_oct == 1:
+        oct_ids = jnp.full_like(s_i, m_oct[0])
+        scale_mult = float(2 ** m_oct[0])
+    else:
+        oct_ids = jnp.asarray(np.asarray(m_oct, np.int32))[j_i]
+        scale_mult = jnp.exp2(oct_ids.astype(jnp.float32))
     sigma = cfg.sigma0 * jnp.exp2(s_o / cfg.S) * scale_mult
     return Keypoints(
         x=jnp.where(valid, x_o * scale_mult, 0.0),
@@ -226,9 +356,55 @@ def detect_octave(
         sigma=jnp.where(valid, sigma, 0.0),
         score=vals,
         orientation=jnp.zeros_like(vals),
-        octave=jnp.full_like(s_i, octave, dtype=jnp.int32),
+        octave=jnp.asarray(oct_ids),
         scale=(s_i + 1).astype(jnp.int32),
         valid=valid,
+    )
+
+
+def detect_octaves_batched(
+    dogs: list[jax.Array],
+    octaves: list[int],
+    cfg: PyramidConfig,
+    capacity: int,
+    **thresholds,
+) -> Keypoints:
+    """Detect over B same-group octaves -> ``capacity`` shared slots.
+
+    Thin wrapper over :func:`detect_octave_groups` with all octaves in one
+    padded group.
+    """
+    return detect_octave_groups(
+        [list(zip(octaves, dogs))], cfg, capacity, **thresholds
+    )
+
+
+def detect_octave(
+    dog: jax.Array,
+    octave: int,
+    cfg: PyramidConfig,
+    capacity: int,
+    contrast_threshold: float = CONTRAST_THRESHOLD,
+    edge_ratio: float = EDGE_RATIO,
+    refine_iters: int = 1,
+) -> Keypoints:
+    """(S+2, H, W) DoG stack of one octave -> Keypoints with ``capacity`` slots.
+
+    Coordinates/sigma are returned in ORIGINAL image units (scaled by 2^octave).
+
+    ``refine_iters`` > 0 enables iterative subpixel refinement (Brown &
+    Lowe / OpenCV): a candidate whose quadratic fit lands further than
+    MAX_REFINE_OFFSET from its voxel is re-fit at the neighbor voxel the
+    fit points to, up to ``refine_iters`` hops — recovering the ~7% of
+    true keypoints the single-shot offset gate rejects. The hops are
+    SPARSE (flat gathers on the already-dense offset fields for just the
+    top-k candidates), so the dense stencil work is unchanged.
+    """
+    return detect_octaves_batched(
+        [dog], [octave], cfg, capacity,
+        contrast_threshold=contrast_threshold,
+        edge_ratio=edge_ratio,
+        refine_iters=refine_iters,
     )
 
 
@@ -236,14 +412,24 @@ def detect_pyramid(
     dogs: list[jax.Array],
     cfg: PyramidConfig,
     max_keypoints: int = 512,
-    per_octave_capacity: int | None = None,
+    tail_batch_side: int = 256,
     **thresholds,
 ) -> Keypoints:
-    """Full-pyramid detection -> top ``max_keypoints`` across all octaves."""
-    if per_octave_capacity is None:
-        per_octave_capacity = max_keypoints
-    kps = [
-        detect_octave(d, o, cfg, per_octave_capacity, **thresholds)
-        for o, d in enumerate(dogs)
+    """Full-pyramid detection -> ``max_keypoints`` slots across all octaves.
+
+    One fused :func:`detect_octave_groups` call: octaves whose longest
+    side exceeds ``tail_batch_side`` each form their own (native-size)
+    group; the small tail shares one zero-padded canvas group. A single
+    global top-k then replaces both the per-octave extraction and the
+    final cross-octave selection.
+    """
+    big = [
+        (o, d) for o, d in enumerate(dogs)
+        if max(d.shape[1], d.shape[2]) > tail_batch_side
     ]
-    return top_k_keypoints(concat_keypoints(kps), max_keypoints)
+    tail = [
+        (o, d) for o, d in enumerate(dogs)
+        if max(d.shape[1], d.shape[2]) <= tail_batch_side
+    ]
+    groups = [[p] for p in big] + ([tail] if tail else [])
+    return detect_octave_groups(groups, cfg, max_keypoints, **thresholds)

@@ -75,6 +75,49 @@ class TestDetect:
         assert int(kp.count()) >= 1
 
 
+class TestFusedDetection:
+    """The fused single-top-k pyramid detection must select exactly the
+    union of the per-octave valid sets (exact top-k, capacity not
+    binding) — this pins the padded-canvas masking, the flat-index
+    unravel, and the per-octave hop limits of detect_octave_groups."""
+
+    @pytest.mark.parametrize("refine", [0, 1, 2])
+    def test_fused_equals_per_octave_union(self, refine):
+        from sift_parallel_optimization_tpu.models.detect import detect_octave
+
+        size = 256
+        cfg = sift_config(size)
+        rng = np.random.default_rng(7)
+        y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+        img = np.full((size, size), 0.5, np.float32)
+        for _ in range(40):
+            cy, cx = rng.uniform(5, size - 5), rng.uniform(5, size - 5)
+            s = rng.uniform(1.5, 12.0)
+            img += rng.uniform(-0.4, 0.4) * np.exp(
+                -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s)
+            )
+        img += 0.05 * (rng.random((size, size), np.float32) - 0.5)
+        dogs = sift_dog_pyramid(jnp.asarray(img), cfg)
+
+        singles = [
+            jax.tree.map(np.asarray,
+                         detect_octave(d, o, cfg, 512, refine_iters=refine))
+            for o, d in enumerate(dogs)
+        ]
+        fused = jax.tree.map(
+            np.asarray,
+            detect_pyramid(dogs, cfg, max_keypoints=512, refine_iters=refine),
+        )
+        n_union = sum(int(s.valid.sum()) for s in singles)
+        assert 0 < n_union < 512  # capacity must not bind for this check
+        assert int(fused.valid.sum()) == n_union
+        for f in ("x", "y", "sigma", "score", "octave", "scale"):
+            a = np.sort(np.concatenate(
+                [getattr(s, f)[s.valid] for s in singles]))
+            b = np.sort(getattr(fused, f)[fused.valid])
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
+
 def _texture(size, seed=0):
     """Smooth random texture (band-limited so features are stable)."""
     rng = np.random.default_rng(seed)
