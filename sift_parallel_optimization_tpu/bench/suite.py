@@ -234,25 +234,40 @@ def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
             dtype=dtype_name,
         )
 
-    # --- frame-batch sweep on the frontend (per-frame cost vs B).
+    # --- frame-batch sweep on the frontend (per-frame cost vs B), for
+    # BOTH batching strategies: plain vmap (loses — batched top-k/gather
+    # lowerings + relayout copies) and the production batched path
+    # (vmapped pyramid + per-frame unrolled sparse stages,
+    # parallel/frontend.py).
+    from sift_parallel_optimization_tpu.parallel.frontend import (
+        batched_extract_features,
+    )
+
     bsize = min(size, 256)
     cfg = sift_config(bsize)
+    paths = {
+        "vmap": lambda x: jax.vmap(
+            lambda im: extract_features(im, cfg, 256)
+        )(x),
+        "batched": lambda x: batched_extract_features(x, cfg, 256),
+    }
     for batch in (1, 2, 4, 8):
         frames = jnp.asarray(
             np.random.default_rng(1).random(
                 (batch, bsize, bsize), np.float32
             )
         )
+        for path_name, path_fn in paths.items():
 
-        def step(x):
-            f = jax.vmap(lambda im: extract_features(im, cfg, 256))(x)
-            return f.descriptors.sum() + f.keypoints.score.sum()
+            def step(x, fn=path_fn):
+                f = fn(x)
+                return f.descriptors.sum() + f.keypoints.score.sum()
 
-        ms = chained_slope_ms(step, frames, chain_lo=10, chain_hi=40)
-        writer.write(
-            f"matrix_frontend_batched_ms_per_frame_{bsize}",
-            round(ms / batch, 4), "ms", batch=batch,
-        )
+            ms = chained_slope_ms(step, frames, chain_lo=10, chain_hi=40)
+            writer.write(
+                f"matrix_frontend_batched_ms_per_frame_{bsize}",
+                round(ms / batch, 4), "ms", batch=batch, path=path_name,
+            )
 
     # --- mesh-shape sweep (data x spatial factorizations of the device set).
     n_dev = len(jax.devices())

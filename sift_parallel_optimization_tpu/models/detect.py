@@ -160,36 +160,79 @@ def detect_octave_groups(
     groups: list[list[tuple[int, jax.Array]]],
     cfg: PyramidConfig,
     capacity: int,
-    contrast_threshold: float = CONTRAST_THRESHOLD,
-    edge_ratio: float = EDGE_RATIO,
-    refine_iters: int = 1,
+    **thresholds,
 ) -> Keypoints:
     """Detect over a whole pyramid in ONE fused program -> ``capacity``
     keypoint slots SHARED across all octaves (global top-k by ranking
     score).
 
     ``groups`` is a list of octave groups, each group a list of
-    ``(octave_id, dog)`` pairs. Octaves within a group are zero-padded to
-    a common canvas and their dense stage is vmapped; groups exist so that
-    LARGE octaves (where dense work dominates) keep their native size
-    while the small tail shares one canvas. All groups' flattened fields
-    are then concatenated for a single top-k and a single sparse
-    refinement stage.
+    ``(octave_id, dog)`` pairs with ``dog`` shaped (S+2, H, W). Thin B=1
+    wrapper over :func:`detect_octave_groups_batched` — see there for the
+    design rationale (grouping, flat top-k, scalar gathers).
+    """
+    kp = detect_octave_groups_batched(
+        [[(o, d[None]) for o, d in grp] for grp in groups],
+        cfg, capacity, **thresholds,
+    )
+    return jax.tree.map(lambda x: x[0], kp)
 
-    Why: on TPU a per-octave detect call has a fixed overhead floor
-    (~35-80 us of kernel launches, top-k and sparse gathers) regardless of
-    octave size — measured at 512^2 the five tail octaves (<=128^2) cost
-    0.256 ms of which almost none is compute. This design pays the dense
-    stencils per GROUP (trivial FLOPs) and everything downstream exactly
-    once for the whole pyramid.
+
+def detect_octave_groups_batched(
+    groups: list[list[tuple[int, jax.Array]]],
+    cfg: PyramidConfig,
+    capacity: int,
+    contrast_threshold: float = CONTRAST_THRESHOLD,
+    edge_ratio: float = EDGE_RATIO,
+    refine_iters: int = 1,
+) -> Keypoints:
+    """Detect over B frames' pyramids in ONE fused program -> (B, capacity)
+    keypoint slots, each frame's slots shared across its octaves (global
+    per-frame top-k by ranking score).
+
+    MEASURED RESULT (v5e, 256^2, K=256, chained-slope): this batch-aware
+    form costs 0.53 ms/frame at B=4 vs 0.18 for B unrolled per-frame
+    ``detect_pyramid`` calls in one program — it beats a plain vmap of
+    the serial path (1.1 ms/frame) ~2x but still loses to the unroll,
+    because XLA materializes the batched stage boundaries with loop-based
+    relayout copies (tiled (B, n_g, S, H, W) -> linear (B*V,)) that the
+    per-frame program never needs. The production batched frontend
+    (parallel/frontend.py) therefore unrolls detection per frame; this
+    function is kept as the measured study point for the B>1 sparse-stage
+    design space (and as the only batched form that can serve dynamic
+    batch sizes, where unrolling is unavailable).
+
+    ``groups`` is a list of octave groups, each group a list of
+    ``(octave_id, dog)`` pairs with ``dog`` shaped (B, S+2, H, W). Octaves
+    within a group are zero-padded to a common canvas and their dense
+    stage is vmapped (over frames x group members); groups exist so that
+    LARGE octaves (where dense work dominates) keep their native size
+    while the small tail shares one canvas.
+
+    Why this shape: on TPU a per-octave detect call has a fixed overhead
+    floor (~35-80 us of kernel launches, top-k and sparse gathers)
+    regardless of octave size — measured at 512^2 the five tail octaves
+    (<=128^2) cost 0.256 ms of which almost none is compute. This design
+    pays the dense stencils per GROUP (trivial FLOPs) and the sparse
+    stage exactly once for the whole frame BATCH.
 
     The shared capacity is not a quality loss vs per-octave capacities:
     the final selection is a top-k over all octaves with the same ranking
     key either way, so any candidate dropped here has >= ``capacity``
-    better candidates and could never appear in the final set. It is also
-    a perf requirement: top-k must be ONE flat 1-D ``approx_max_k`` — the
-    batched (B, V) form hits a slow lowering (measured 0.044 ms 1-D vs
-    0.44 ms for (1, V) on v5e).
+    better candidates and could never appear in the final set.
+
+    Batching rules (all measured on v5e — this function exists because
+    `vmap` over the serial path violates every one of them):
+
+    * top-k must be a flat 1-D ``approx_max_k`` — the batched (B, V) form
+      hits a slow lowering (0.044 ms 1-D vs 0.44 ms for (1, V)). So the
+      per-frame top-k is UNROLLED over the (static) batch, each call a
+      contiguous row slice of the (B, V) score table.
+    * sparse lookups must be scalar 1-D -> 1-D gathers (a batched
+      (B, V)[rows, idx] gather costs 20-30x more). So all frames' dense
+      fields live in ONE frame-major (B*V,) flat array and candidate
+      indices get a per-frame base offset — one flat gather serves the
+      whole batch, amortizing the serial path's per-hop gather latency.
 
     Correctness under padding: candidate voxels are masked to each
     octave's true interior BEFORE top-k, so a padded voxel can never rank;
@@ -197,44 +240,48 @@ def detect_octave_groups(
     land in a padded voxel either. With exact top-k and fewer than
     ``capacity`` total candidates this selects exactly the union of the
     per-octave valid sets (tested in tests/test_detect.py).
-
-    Sparse lookups keep the measured v5e gather-shape rule: sources are
-    flattened to ONE (sum V,) array indexed by flat candidate indices, so
-    every gather stays scalar 1-D -> 1-D (a (B, V)[rows, idx] batched
-    gather costs 20-30x more). Per-octave dims/limits arrive via scalar
-    gathers on tiny (n_octaves,) arrays.
     """
     assert groups and all(groups)
-    ds2 = groups[0][0][1].shape[0]
+    b = groups[0][0][1].shape[0]
+    ds2 = groups[0][0][1].shape[1]
     seg_score, seg_offs, seg_offy, seg_offx, seg_gate = [], [], [], [], []
-    # Per-octave metadata (numpy, static): flat base offset, padded dims
-    # for unravel, true interior limits for hop clipping, octave id.
+    # Per-octave metadata (numpy, static): in-frame flat base offset,
+    # padded dims for unravel, true interior limits for hop clipping, id.
     m_base, m_hs, m_ws, m_ly, m_lx, m_oct = [], [], [], [], [], []
     base = 0
     ds = None
     for grp in groups:
-        assert all(d.shape[0] == ds2 for _, d in grp), "octaves must share S"
-        hp = max(d.shape[1] for _, d in grp)
-        wp = max(d.shape[2] for _, d in grp)
+        assert all(d.shape[:2] == (b, ds2) for _, d in grp), \
+            "octaves must share batch and S"
+        hp = max(d.shape[2] for _, d in grp)
+        wp = max(d.shape[3] for _, d in grp)
+        # (B, n_g, S+2, hp, wp): frame-major so per-frame flattening below
+        # is a plain reshape.
         stack = jnp.stack([
-            jnp.pad(d, ((0, 0), (0, hp - d.shape[1]), (0, wp - d.shape[2])))
+            jnp.pad(
+                d, ((0, 0), (0, 0), (0, hp - d.shape[2]), (0, wp - d.shape[3]))
+            )
             for _, d in grp
-        ])
+        ], axis=1)
+        n_g = len(grp)
         score, off_s, off_y, off_x, d_gate = jax.vmap(
             lambda d: _dense_fields(
                 d, cfg, contrast_threshold, edge_ratio, refine_iters
             )
-        )(stack)
+        )(stack.reshape(b * n_g, ds2, hp, wp))
         ds, hs, ws = score.shape[1:]
+        shp5 = (b, n_g, ds, hs, ws)
+        score = score.reshape(shp5)
+        d_gate = d_gate.reshape(shp5)
         if any(d.shape != grp[0][1].shape for _, d in grp):
             # Mask padded voxels out of the candidate set. True interior
             # rows of an (s2, h, w) octave are [0, h-3] in interior coords.
-            h_real = np.array([d.shape[1] for _, d in grp], np.int32)
-            w_real = np.array([d.shape[2] for _, d in grp], np.int32)
-            iy = lax.broadcasted_iota(jnp.int32, score.shape, 2)
-            ix = lax.broadcasted_iota(jnp.int32, score.shape, 3)
-            inb = (iy < jnp.asarray(h_real)[:, None, None, None] - 2) & (
-                ix < jnp.asarray(w_real)[:, None, None, None] - 2
+            h_real = np.array([d.shape[2] for _, d in grp], np.int32)
+            w_real = np.array([d.shape[3] for _, d in grp], np.int32)
+            iy = lax.broadcasted_iota(jnp.int32, shp5, 3)
+            ix = lax.broadcasted_iota(jnp.int32, shp5, 4)
+            inb = (iy < jnp.asarray(h_real)[None, :, None, None, None] - 2) & (
+                ix < jnp.asarray(w_real)[None, :, None, None, None] - 2
             )
             score = jnp.where(inb, score, 0.0)
             if refine_iters:
@@ -244,40 +291,53 @@ def detect_octave_groups(
             m_base.append(base + j * v)
             m_hs.append(hs)
             m_ws.append(ws)
-            m_ly.append(d.shape[1] - 3)
-            m_lx.append(d.shape[2] - 3)
+            m_ly.append(d.shape[2] - 3)
+            m_lx.append(d.shape[3] - 3)
             m_oct.append(o)
-        base += len(grp) * v
-        seg_score.append(score.reshape(-1))
-        seg_offs.append(off_s.reshape(-1))
-        seg_offy.append(off_y.reshape(-1))
-        seg_offx.append(off_x.reshape(-1))
-        seg_gate.append(d_gate.reshape(-1))
+        base += n_g * v
+        seg_score.append(score.reshape(b, -1))
+        seg_offs.append(off_s.reshape(b, -1))
+        seg_offy.append(off_y.reshape(b, -1))
+        seg_offx.append(off_x.reshape(b, -1))
+        seg_gate.append(d_gate.reshape(b, -1))
 
-    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
-    flat_score = cat(seg_score)
-    off_fs, off_fy, off_fx = cat(seg_offs), cat(seg_offy), cat(seg_offx)
-    d_gate = cat(seg_gate)
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
+    score2d = cat(seg_score)                       # (B, V) for per-frame top-k
+    # Frame-major (B*V,) flat fields: ONE scalar gather serves all frames.
+    off_fs = cat(seg_offs).reshape(-1)
+    off_fy = cat(seg_offy).reshape(-1)
+    off_fx = cat(seg_offx).reshape(-1)
+    d_gate = cat(seg_gate).reshape(-1)
     n_total = base
 
-    # Static-shape extraction: ONE flat 1-D top-k over all octaves'
-    # flattened interiors. On TPU, approx_max_k (tiled two-stage
-    # reduction) is ~200x faster than the exact sort-based top_k at these
-    # sizes — but ONLY in its 1-D form (see docstring); exact top_k
-    # elsewhere keeps CPU tests deterministic. recall_target=0.99 bounds
-    # the TPU-vs-CPU top-k divergence to ~1% of true candidates (guarded
-    # on hardware by tools/tpu_sanity.py).
+    # Static-shape extraction: one flat 1-D top-k PER FRAME (unrolled —
+    # B is static). On TPU, approx_max_k (tiled two-stage reduction) is
+    # ~200x faster than the exact sort-based top_k at these sizes — but
+    # ONLY in its 1-D form (see docstring); exact top_k elsewhere keeps
+    # CPU tests deterministic. recall_target=0.99 bounds the TPU-vs-CPU
+    # top-k divergence to ~1% of true candidates (guarded on hardware by
+    # tools/tpu_sanity.py).
     k = min(capacity, n_total)
-    if jax.default_backend() in ("tpu", "axon") and n_total >= 4096:
-        vals, idx = lax.approx_max_k(flat_score, k, recall_target=0.99)
-    else:
-        vals, idx = lax.top_k(flat_score, k)
+    on_tpu = jax.default_backend() in ("tpu", "axon") and n_total >= 4096
+    vals_l, idx_l = [], []
+    for bi in range(b):
+        row = score2d[bi] if b > 1 else score2d.reshape(-1)
+        if on_tpu:
+            v_b, i_b = lax.approx_max_k(row, k, recall_target=0.99)
+        else:
+            v_b, i_b = lax.top_k(row, k)
+        vals_l.append(v_b)
+        idx_l.append(i_b)
+    vals = jnp.stack(vals_l)                       # (B, K)
+    idx = jnp.stack(idx_l)
     if k < capacity:  # tiny pyramid: pad up to capacity
-        vals = jnp.pad(vals, (0, capacity - k))
-        idx = jnp.pad(idx, (0, capacity - k))
+        vals = jnp.pad(vals, ((0, 0), (0, capacity - k)))
+        idx = jnp.pad(idx, ((0, 0), (0, capacity - k)))
 
     # Per-candidate octave + in-octave voxel coords from the flat index.
+    # All (B, K); gathers on tiny (n_oct,) tables flatten to 1-D form.
     n_oct = len(m_base)
+    flat_take = lambda src, i: src[i.reshape(-1)].reshape(i.shape)
     if n_oct == 1:
         hs_c, ws_c = m_hs[0], m_ws[0]
         base_c = 0
@@ -285,18 +345,20 @@ def detect_octave_groups(
         rem = idx
     else:
         # Octave of each candidate: segment bases are sorted ascending, so
-        # count how many bases the index has passed (tiny (K, n_oct)
+        # count how many bases the index has passed (tiny (B, K, n_oct)
         # compare — cheaper than any gather-based search).
         bases = jnp.asarray(np.asarray(m_base, np.int32))
-        j_i = jnp.sum(idx[:, None] >= bases[None, :], axis=1) - 1
-        take = lambda m: jnp.asarray(np.asarray(m, np.int32))[j_i]
-        base_c = bases[j_i]
+        j_i = jnp.sum(idx[..., None] >= bases[None, None, :], axis=-1) - 1
+        take = lambda m: flat_take(jnp.asarray(np.asarray(m, np.int32)), j_i)
+        base_c = take(m_base)
         hs_c, ws_c = take(m_hs), take(m_ws)
         lim_y, lim_x = take(m_ly), take(m_lx)
         rem = idx - base_c
     s_i = rem // (hs_c * ws_c)
     y_i = (rem // ws_c) % hs_c
     x_i = rem % ws_c
+    # Per-frame base into the frame-major flat field arrays.
+    fb = (jnp.arange(b, dtype=jnp.int32) * n_total)[:, None]
     if refine_iters:
         # Sparse neighbor-hop refinement on the candidates: gather the
         # (already computed) dense quadratic fit at each candidate's voxel,
@@ -313,8 +375,10 @@ def detect_octave_groups(
             return jnp.where(conv, p, jnp.clip(p + step, 0, lim))
 
         for _ in range(refine_iters):
-            flat = base_c + (ps * hs_c + py) * ws_c + px
-            os_, oy, ox = off_fs[flat], off_fy[flat], off_fx[flat]
+            flat = fb + base_c + (ps * hs_c + py) * ws_c + px
+            os_ = flat_take(off_fs, flat)
+            oy = flat_take(off_fy, flat)
+            ox = flat_take(off_fx, flat)
             conv = (
                 (jnp.abs(os_) <= MAX_REFINE_OFFSET)
                 & (jnp.abs(oy) <= MAX_REFINE_OFFSET)
@@ -323,9 +387,11 @@ def detect_octave_groups(
             ps = hop(ps, os_, ds - 1, conv)
             py = hop(py, oy, lim_y, conv)
             px = hop(px, ox, lim_x, conv)
-        flat = base_c + (ps * hs_c + py) * ws_c + px
-        fs, fy, fx = off_fs[flat], off_fy[flat], off_fx[flat]
-        d_f = d_gate[flat]
+        flat = fb + base_c + (ps * hs_c + py) * ws_c + px
+        fs = flat_take(off_fs, flat)
+        fy = flat_take(off_fy, flat)
+        fx = flat_take(off_fx, flat)
+        d_f = flat_take(d_gate, flat)
         s_i, y_i, x_i = ps, py, px
         off_ok_f = (
             (jnp.abs(fs) < MAX_REFINE_OFFSET)
@@ -335,7 +401,10 @@ def detect_octave_groups(
         valid = (vals > 0) & off_ok_f & (d_f > 0)
         vals = jnp.where(valid, d_f, 0.0)
     else:
-        fs, fy, fx = off_fs[idx], off_fy[idx], off_fx[idx]
+        flat = fb + idx
+        fs = flat_take(off_fs, flat)
+        fy = flat_take(off_fy, flat)
+        fx = flat_take(off_fx, flat)
         valid = vals > 0
 
     # +1: interior offset from the VALID window; coords in octave pixels.
@@ -347,7 +416,7 @@ def detect_octave_groups(
         oct_ids = jnp.full_like(s_i, m_oct[0])
         scale_mult = float(2 ** m_oct[0])
     else:
-        oct_ids = jnp.asarray(np.asarray(m_oct, np.int32))[j_i]
+        oct_ids = flat_take(jnp.asarray(np.asarray(m_oct, np.int32)), j_i)
         scale_mult = jnp.exp2(oct_ids.astype(jnp.float32))
     sigma = cfg.sigma0 * jnp.exp2(s_o / cfg.S) * scale_mult
     return Keypoints(
@@ -433,3 +502,32 @@ def detect_pyramid(
     ]
     groups = [[p] for p in big] + ([tail] if tail else [])
     return detect_octave_groups(groups, cfg, max_keypoints, **thresholds)
+
+
+def detect_pyramid_batched(
+    dogs: list[jax.Array],
+    cfg: PyramidConfig,
+    max_keypoints: int = 512,
+    tail_batch_side: int = 256,
+    **thresholds,
+) -> Keypoints:
+    """Frame-batched full-pyramid detection.
+
+    ``dogs`` holds one (B, S+2, H_o, W_o) array per octave; returns
+    Keypoints with a leading (B,) axis and ``max_keypoints`` slots per
+    frame. Same grouping policy as :func:`detect_pyramid`; the sparse
+    stage (top-k, gathers) is batch-aware instead of vmapped — see
+    :func:`detect_octave_groups_batched` for why vmap loses here.
+    """
+    big = [
+        (o, d) for o, d in enumerate(dogs)
+        if max(d.shape[2], d.shape[3]) > tail_batch_side
+    ]
+    tail = [
+        (o, d) for o, d in enumerate(dogs)
+        if max(d.shape[2], d.shape[3]) <= tail_batch_side
+    ]
+    groups = [[p] for p in big] + ([tail] if tail else [])
+    return detect_octave_groups_batched(
+        groups, cfg, max_keypoints, **thresholds
+    )

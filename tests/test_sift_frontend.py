@@ -213,3 +213,82 @@ class TestRectangularImages:
         assert (kp.x[kp.valid] < W).all() and (kp.y[kp.valid] < H).all()
         d = np.asarray(f.descriptors)
         assert np.allclose(np.linalg.norm(d[kp.valid], axis=1), 1, atol=1e-4)
+
+class TestBatchedDetection:
+    """detect_pyramid_batched must equal per-frame detect_pyramid EXACTLY
+    on CPU (both take the exact top_k branch over identical flat scores),
+    and the single-device batch-aware frontend must match per-frame
+    extraction the same way."""
+
+    def _frames(self, b, size):
+        y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+        out = []
+        for i in range(b):
+            rng = np.random.default_rng(100 + i)
+            img = np.full((size, size), 0.5, np.float32)
+            for _ in range(10):
+                cy, cx = rng.uniform(8, size - 8, 2)
+                s = rng.uniform(1.5, 6.0)
+                img += rng.uniform(-0.4, 0.4) * np.exp(
+                    -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s)
+                )
+            img += 0.05 * (rng.random((size, size), np.float32) - 0.5)
+            out.append(img)
+        return jnp.asarray(np.stack(out))
+
+    @pytest.mark.parametrize("refine", [0, 1])
+    def test_batched_detect_equals_per_frame(self, refine):
+        from sift_parallel_optimization_tpu.models.detect import (
+            detect_pyramid_batched,
+        )
+
+        size, b = 96, 3
+        cfg = sift_config(size)
+        frames = self._frames(b, size)
+        dogs_per = [sift_dog_pyramid(frames[i], cfg) for i in range(b)]
+        dogs_b = [
+            jnp.stack([dogs_per[i][o] for i in range(b)])
+            for o in range(len(dogs_per[0]))
+        ]
+        batched = jax.tree.map(
+            np.asarray,
+            detect_pyramid_batched(
+                dogs_b, cfg, max_keypoints=128, refine_iters=refine
+            ),
+        )
+        for i in range(b):
+            single = jax.tree.map(
+                np.asarray,
+                detect_pyramid(
+                    dogs_per[i], cfg, max_keypoints=128, refine_iters=refine
+                ),
+            )
+            for f in single._fields:
+                np.testing.assert_array_equal(
+                    getattr(batched, f)[i], getattr(single, f), err_msg=f
+                )
+
+    def test_batched_frontend_matches_per_frame(self):
+        from sift_parallel_optimization_tpu.parallel.frontend import (
+            batched_extract_features,
+        )
+
+        size, b = 96, 2
+        cfg = sift_config(size)
+        frames = self._frames(b, size)
+        out = batched_extract_features(frames, cfg, max_keypoints=64)
+        for i in range(b):
+            ref = extract_features(frames[i], cfg, max_keypoints=64)
+            # atol 1e-3: the vmapped pyramid's batched einsums reassociate
+            # float adds, shifting coordinates/scores by ~1e-5 px.
+            for f in ref.keypoints._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(out.keypoints, f)[i]),
+                    np.asarray(getattr(ref.keypoints, f)),
+                    atol=1e-3, err_msg=f,
+                )
+            np.testing.assert_allclose(
+                np.asarray(out.descriptors[i]),
+                np.asarray(ref.descriptors),
+                atol=1e-4,
+            )
