@@ -45,25 +45,37 @@ def _window_extrema(dog: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _grad_hess(dog: jax.Array):
-    """Dense central differences at interior voxels of (D, H, W).
+    """Central differences at interior voxels of the TRAILING (D, H, W) axes.
 
-    Returns g = (gs, gy, gx) and Hessian entries, each (D-2, H-2, W-2).
+    Returns g = (gs, gy, gx) and Hessian entries, each (..., D-2, H-2, W-2).
+    Used both densely (whole DoG stacks) and sparsely (gathered (K, 3, 3, 3)
+    candidate cubes, where the interior is the single center voxel) — one
+    set of expressions, so sparse re-fits are bitwise equal to the dense
+    fields they replace.
     """
-    c = dog[1:-1, 1:-1, 1:-1]
-    ds_p, ds_m = dog[2:, 1:-1, 1:-1], dog[:-2, 1:-1, 1:-1]
-    dy_p, dy_m = dog[1:-1, 2:, 1:-1], dog[1:-1, :-2, 1:-1]
-    dx_p, dx_m = dog[1:-1, 1:-1, 2:], dog[1:-1, 1:-1, :-2]
+    c = dog[..., 1:-1, 1:-1, 1:-1]
+    ds_p, ds_m = dog[..., 2:, 1:-1, 1:-1], dog[..., :-2, 1:-1, 1:-1]
+    dy_p, dy_m = dog[..., 1:-1, 2:, 1:-1], dog[..., 1:-1, :-2, 1:-1]
+    dx_p, dx_m = dog[..., 1:-1, 1:-1, 2:], dog[..., 1:-1, 1:-1, :-2]
     gs, gy, gx = (ds_p - ds_m) / 2, (dy_p - dy_m) / 2, (dx_p - dx_m) / 2
     hss = ds_p + ds_m - 2 * c
     hyy = dy_p + dy_m - 2 * c
     hxx = dx_p + dx_m - 2 * c
-    hsy = (dog[2:, 2:, 1:-1] - dog[2:, :-2, 1:-1]
-           - dog[:-2, 2:, 1:-1] + dog[:-2, :-2, 1:-1]) / 4
-    hsx = (dog[2:, 1:-1, 2:] - dog[2:, 1:-1, :-2]
-           - dog[:-2, 1:-1, 2:] + dog[:-2, 1:-1, :-2]) / 4
-    hyx = (dog[1:-1, 2:, 2:] - dog[1:-1, 2:, :-2]
-           - dog[1:-1, :-2, 2:] + dog[1:-1, :-2, :-2]) / 4
+    hsy = (dog[..., 2:, 2:, 1:-1] - dog[..., 2:, :-2, 1:-1]
+           - dog[..., :-2, 2:, 1:-1] + dog[..., :-2, :-2, 1:-1]) / 4
+    hsx = (dog[..., 2:, 1:-1, 2:] - dog[..., 2:, 1:-1, :-2]
+           - dog[..., :-2, 1:-1, 2:] + dog[..., :-2, 1:-1, :-2]) / 4
+    hyx = (dog[..., 1:-1, 2:, 2:] - dog[..., 1:-1, 2:, :-2]
+           - dog[..., 1:-1, :-2, 2:] + dog[..., 1:-1, :-2, :-2]) / 4
     return (gs, gy, gx), (hss, hyy, hxx, hsy, hsx, hyx)
+
+
+def _edge_test(hyy, hxx, hyx, edge_ratio):
+    """Lowe's 2D edge-response test on the spatial Hessian (shared by the
+    dense ranking and the sparse re-fit so their booleans agree exactly)."""
+    tr = hxx + hyy
+    det2 = hxx * hyy - hyx * hyx
+    return (det2 > 0) & (tr * tr * edge_ratio < (edge_ratio + 1) ** 2 * det2)
 
 
 def _solve3(h, g):
@@ -88,21 +100,23 @@ def _solve3(h, g):
     return off_s, off_y, off_x, det
 
 
-def _dense_fields(
+def _dense_score(
     dog: jax.Array,
     cfg: PyramidConfig,
     contrast_threshold: float,
     edge_ratio: float,
     refine_iters: int,
-):
-    """Dense per-voxel stage shared by the single- and batched-octave paths.
+) -> jax.Array:
+    """Dense per-voxel ranking stage: (S+2, H, W) DoG -> (S, H-2, W-2) score.
 
-    (S+2, H, W) DoG -> interior (S, H-2, W-2) fields:
-    ``(score, off_s, off_y, off_x, d_gate)``. ``score`` is the top-k ranking
-    key (0 where not a candidate); ``d_gate`` folds the edge + contrast
-    gates into one signed contrast value (negative = rejected) so the
-    post-refinement acceptance costs one gather instead of two. ``d_gate``
-    is a dummy zero array when ``refine_iters`` is 0.
+    ``score`` is the top-k ranking key (0 where not a candidate). The
+    quadratic-fit offsets computed here are FUSED INTERMEDIATES only —
+    they feed the ranking contrast and are never materialized. (Round-2
+    measurement, v5e 512^2: materializing + flat-gathering the three dense
+    offset fields plus the gate field cost ~0.6 ms/frame — the relayout of
+    each stencil-produced field to the linear gather layout dominates the
+    whole detection stage. The sparse stage instead re-fits candidates from
+    gathered 3x3x3 DoG cubes, ~us-scale.)
     """
     dog = dog.astype(jnp.float32)
     is_max, is_min = _window_extrema(dog)
@@ -111,16 +125,7 @@ def _dense_fields(
     c = dog[1:-1, 1:-1, 1:-1]
     gs, gy, gx = g
     _hss, hyy, hxx, _hsy, _hsx, hyx = h
-
-    # Refined contrast |D_hat| = |D + 1/2 g . offset|.
-    d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
-
-    # 2D edge test on the spatial Hessian.
-    tr = hxx + hyy
-    det2 = hxx * hyy - hyx * hyx
-    edge_ok = (det2 > 0) & (
-        tr * tr * edge_ratio < (edge_ratio + 1) ** 2 * det2
-    )
+    edge_ok = _edge_test(hyy, hxx, hyx, edge_ratio)
 
     # Lowe/OpenCV convention: the usable threshold scales with the number
     # of intervals (DoG plane spacing shrinks as S grows).
@@ -135,25 +140,43 @@ def _dense_fields(
             + gx * jnp.clip(off_x, -MAX_REFINE_OFFSET, MAX_REFINE_OFFSET)
         )
         good = (is_max | is_min) & (jnp.abs(d_rank) > thr) & edge_ok
-        score = jnp.where(good, jnp.abs(d_rank), 0.0)
-        d_gate = jnp.where(
-            edge_ok & (jnp.abs(d_hat) > thr), jnp.abs(d_hat), -1.0
-        )
-    else:
-        off_ok = (
-            (jnp.abs(off_s) < MAX_REFINE_OFFSET)
-            & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
-            & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
-        )
-        good = (
-            (is_max | is_min)
-            & (jnp.abs(d_hat) > thr)
-            & edge_ok
-            & off_ok
-        )
-        score = jnp.where(good, jnp.abs(d_hat), 0.0)
-        d_gate = jnp.zeros_like(score)
-    return score, off_s, off_y, off_x, d_gate
+        return jnp.where(good, jnp.abs(d_rank), 0.0)
+    # Refined contrast |D_hat| = |D + 1/2 g . offset|.
+    d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
+    off_ok = (
+        (jnp.abs(off_s) < MAX_REFINE_OFFSET)
+        & (jnp.abs(off_y) < MAX_REFINE_OFFSET)
+        & (jnp.abs(off_x) < MAX_REFINE_OFFSET)
+    )
+    good = (is_max | is_min) & (jnp.abs(d_hat) > thr) & edge_ok & off_ok
+    return jnp.where(good, jnp.abs(d_hat), 0.0)
+
+
+def _cube_fit(cube: jax.Array, edge_ratio: float):
+    """Sparse Brown & Lowe re-fit on gathered (..., 3, 3, 3) DoG cubes.
+
+    Same expressions as the dense ranking stage (via the shared
+    :func:`_grad_hess` / :func:`_solve3` / :func:`_edge_test`), so the
+    values are bitwise equal to the dense fields they replace. Returns
+    ``(off_s, off_y, off_x, d_hat, edge_ok)``, each shaped like the cube's
+    leading dims.
+    """
+    g, h = _grad_hess(cube)  # each (..., 1, 1, 1): the center voxel
+    off_s, off_y, off_x, _det3 = _solve3(h, g)
+    c = cube[..., 1:-1, 1:-1, 1:-1]
+    gs, gy, gx = g
+    _hss, hyy, hxx, _hsy, _hsx, hyx = h
+    d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
+    edge_ok = _edge_test(hyy, hxx, hyx, edge_ratio)
+    sq = lambda a: a[..., 0, 0, 0]
+    return sq(off_s), sq(off_y), sq(off_x), sq(d_hat), sq(edge_ok)
+
+
+# The 3x3x3 cube footprint as static flat-offset factors (ds, dy, dx).
+_CUBE_DS, _CUBE_DY, _CUBE_DX = [
+    jnp.asarray(a.reshape(-1), jnp.int32)
+    for a in np.meshgrid(*([np.arange(3)] * 3), indexing="ij")
+]
 
 
 def detect_octave_groups(
@@ -228,29 +251,40 @@ def detect_octave_groups_batched(
       hits a slow lowering (0.044 ms 1-D vs 0.44 ms for (1, V)). So the
       per-frame top-k is UNROLLED over the (static) batch, each call a
       contiguous row slice of the (B, V) score table.
-    * sparse lookups must be scalar 1-D -> 1-D gathers (a batched
-      (B, V)[rows, idx] gather costs 20-30x more). So all frames' dense
-      fields live in ONE frame-major (B*V,) flat array and candidate
-      indices get a per-frame base offset — one flat gather serves the
-      whole batch, amortizing the serial path's per-hop gather latency.
+    * the dense stage outputs ONLY the ranking score. Candidate offsets
+      and gates are re-fit SPARSELY from gathered (3, 3, 3) DoG cubes —
+      ONE flat 27-offset gather per refinement round serves all frames,
+      groups, and cube positions (see ``fit_at``). Materializing dense
+      offset/gate fields and flat-gathering them instead costs
+      ~0.6 ms/frame at 512^2 (the tiled->linear relayout of each
+      stencil-produced field dominates), and (1, 3, 3, 3)-slice
+      `lax.gather` from the native 4-D stacks costs 1.1-2.5 ms/frame;
+      the flat-copy + 27-offset form measures ~0.09 ms/round.
 
     Correctness under padding: candidate voxels are masked to each
     octave's true interior BEFORE top-k, so a padded voxel can never rank;
     refinement hops clip to per-octave interior limits, so a hop can never
-    land in a padded voxel either. With exact top-k and fewer than
-    ``capacity`` total candidates this selects exactly the union of the
-    per-octave valid sets (tested in tests/test_detect.py).
+    land in a padded voxel either (a cube at interior (s, y, x) reads
+    dog[s:s+3, y:y+3, x:x+3], inside the true region whenever y <= h-3).
+    With exact top-k and fewer than ``capacity`` total candidates this
+    selects exactly the union of the per-octave valid sets (tested in
+    tests/test_sift_frontend.py).
     """
     assert groups and all(groups)
     b = groups[0][0][1].shape[0]
     ds2 = groups[0][0][1].shape[1]
-    seg_score, seg_offs, seg_offy, seg_offx, seg_gate = [], [], [], [], []
+    seg_score = []
+    stacks = []  # per group: (B*n_g, S+2, hp, wp) DoG stack
     # Per-octave metadata (numpy, static): in-frame flat base offset,
-    # padded dims for unravel, true interior limits for hop clipping, id.
+    # padded dims for unravel, true interior limits for hop clipping,
+    # octave id, flat start of the owning group's DoG segment, the group's
+    # member count, and this octave's row within its stack.
     m_base, m_hs, m_ws, m_ly, m_lx, m_oct = [], [], [], [], [], []
+    m_gstart, m_ng, m_row = [], [], []
     base = 0
+    gstart = 0
     ds = None
-    for grp in groups:
+    for gi, grp in enumerate(groups):
         assert all(d.shape[:2] == (b, ds2) for _, d in grp), \
             "octaves must share batch and S"
         hp = max(d.shape[2] for _, d in grp)
@@ -264,15 +298,15 @@ def detect_octave_groups_batched(
             for _, d in grp
         ], axis=1)
         n_g = len(grp)
-        score, off_s, off_y, off_x, d_gate = jax.vmap(
-            lambda d: _dense_fields(
+        stack4 = stack.reshape(b * n_g, ds2, hp, wp).astype(jnp.float32)
+        score = jax.vmap(
+            lambda d: _dense_score(
                 d, cfg, contrast_threshold, edge_ratio, refine_iters
             )
-        )(stack.reshape(b * n_g, ds2, hp, wp))
+        )(stack4)
         ds, hs, ws = score.shape[1:]
         shp5 = (b, n_g, ds, hs, ws)
         score = score.reshape(shp5)
-        d_gate = d_gate.reshape(shp5)
         if any(d.shape != grp[0][1].shape for _, d in grp):
             # Mask padded voxels out of the candidate set. True interior
             # rows of an (s2, h, w) octave are [0, h-3] in interior coords.
@@ -284,8 +318,6 @@ def detect_octave_groups_batched(
                 ix < jnp.asarray(w_real)[None, :, None, None, None] - 2
             )
             score = jnp.where(inb, score, 0.0)
-            if refine_iters:
-                d_gate = jnp.where(inb, d_gate, -1.0)
         v = ds * hs * ws
         for j, (o, d) in enumerate(grp):
             m_base.append(base + j * v)
@@ -294,20 +326,16 @@ def detect_octave_groups_batched(
             m_ly.append(d.shape[2] - 3)
             m_lx.append(d.shape[3] - 3)
             m_oct.append(o)
+            m_gstart.append(gstart)
+            m_ng.append(n_g)
+            m_row.append(j)
         base += n_g * v
+        gstart += stack4.size
+        stacks.append(stack4)
         seg_score.append(score.reshape(b, -1))
-        seg_offs.append(off_s.reshape(b, -1))
-        seg_offy.append(off_y.reshape(b, -1))
-        seg_offx.append(off_x.reshape(b, -1))
-        seg_gate.append(d_gate.reshape(b, -1))
 
     cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
     score2d = cat(seg_score)                       # (B, V) for per-frame top-k
-    # Frame-major (B*V,) flat fields: ONE scalar gather serves all frames.
-    off_fs = cat(seg_offs).reshape(-1)
-    off_fy = cat(seg_offy).reshape(-1)
-    off_fx = cat(seg_offx).reshape(-1)
-    d_gate = cat(seg_gate).reshape(-1)
     n_total = base
 
     # Static-shape extraction: one flat 1-D top-k PER FRAME (unrolled —
@@ -342,6 +370,7 @@ def detect_octave_groups_batched(
         hs_c, ws_c = m_hs[0], m_ws[0]
         base_c = 0
         lim_y, lim_x = m_ly[0], m_lx[0]
+        gstart_c, ng_c, row_c = 0, 1, 0
         rem = idx
     else:
         # Octave of each candidate: segment bases are sorted ascending, so
@@ -353,21 +382,50 @@ def detect_octave_groups_batched(
         base_c = take(m_base)
         hs_c, ws_c = take(m_hs), take(m_ws)
         lim_y, lim_x = take(m_ly), take(m_lx)
+        gstart_c, ng_c, row_c = take(m_gstart), take(m_ng), take(m_row)
         rem = idx - base_c
     s_i = rem // (hs_c * ws_c)
     y_i = (rem // ws_c) % hs_c
     x_i = rem % ws_c
-    # Per-frame base into the frame-major flat field arrays.
-    fb = (jnp.arange(b, dtype=jnp.int32) * n_total)[:, None]
+    frame_i = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # One frame-major flat copy of every group's DoG stack — the ONLY
+    # layout cost of the sparse stage (the linear write fuses with the DoG
+    # subtraction / padding producers; a (1, 3, 3, 3)-slice `lax.gather`
+    # from the native 4-D stacks instead measured 1.1-2.5 ms/frame at
+    # 512^2, and per-field dense-offset gathers ~0.6 ms — both relayout
+    # pathologies this flat copy avoids). A candidate's 3x3x3 cube is 27
+    # scalar offsets around its voxel; ONE flat gather per refinement
+    # round serves all frames, groups, and cube positions.
+    flat_dog = (stacks[0].reshape(-1) if len(stacks) == 1 else
+                jnp.concatenate([s4.reshape(-1) for s4 in stacks]))
+    wp_c = ws_c + 2                                  # padded canvas strides
+    sp_c = (hs_c + 2) * wp_c
+    if n_oct == 1:                                   # strides are static ints
+        deltas = _CUBE_DS * sp_c + _CUBE_DY * wp_c + _CUBE_DX        # (27,)
+    else:
+        deltas = (_CUBE_DS * sp_c[..., None] + _CUBE_DY * wp_c[..., None]
+                  + _CUBE_DX)                                    # (B, K, 27)
+
+    def fit_at(ps, py, px):
+        """Re-fit all (B, K) candidates at voxel (ps, py, px): one flat
+        27-offset gather for the whole batch, then the shared sparse
+        Brown & Lowe expressions."""
+        corner = (gstart_c + (frame_i * ng_c + row_c) * (ds2 * sp_c)
+                  + ps * sp_c + py * wp_c + px)
+        pos = corner[..., None] + deltas             # (B, K, 27)
+        cube = flat_dog[pos.reshape(-1)].reshape(ps.shape + (3, 3, 3))
+        return _cube_fit(cube, edge_ratio)
+
+    os_, oy, ox, dh, eok = fit_at(s_i, y_i, x_i)
     if refine_iters:
-        # Sparse neighbor-hop refinement on the candidates: gather the
-        # (already computed) dense quadratic fit at each candidate's voxel,
+        # Sparse neighbor-hop refinement on the candidates: re-fit the
+        # quadratic at each candidate's voxel from its gathered DoG cube,
         # hop one voxel toward the fit when it escapes the trust region,
-        # re-gather, repeat. One hop recovers essentially all the benefit:
+        # re-fit, repeat. One hop recovers essentially all the benefit:
         # measured on chip over 4 synthetic frames, refine=1 matched
-        # refine=3 on 3/4 frames and was one keypoint short on the 4th,
-        # while each extra iteration costs ~0.09 ms of serial gather
-        # latency — hence the default of 1.
+        # refine=3 on 3/4 frames and was one keypoint short on the 4th —
+        # hence the default of 1.
         ps, py, px = s_i, y_i, x_i
 
         def hop(p, o, lim, conv):
@@ -375,10 +433,6 @@ def detect_octave_groups_batched(
             return jnp.where(conv, p, jnp.clip(p + step, 0, lim))
 
         for _ in range(refine_iters):
-            flat = fb + base_c + (ps * hs_c + py) * ws_c + px
-            os_ = flat_take(off_fs, flat)
-            oy = flat_take(off_fy, flat)
-            ox = flat_take(off_fx, flat)
             conv = (
                 (jnp.abs(os_) <= MAX_REFINE_OFFSET)
                 & (jnp.abs(oy) <= MAX_REFINE_OFFSET)
@@ -387,24 +441,19 @@ def detect_octave_groups_batched(
             ps = hop(ps, os_, ds - 1, conv)
             py = hop(py, oy, lim_y, conv)
             px = hop(px, ox, lim_x, conv)
-        flat = fb + base_c + (ps * hs_c + py) * ws_c + px
-        fs = flat_take(off_fs, flat)
-        fy = flat_take(off_fy, flat)
-        fx = flat_take(off_fx, flat)
-        d_f = flat_take(d_gate, flat)
+            os_, oy, ox, dh, eok = fit_at(ps, py, px)
+        fs, fy, fx = os_, oy, ox
         s_i, y_i, x_i = ps, py, px
         off_ok_f = (
             (jnp.abs(fs) < MAX_REFINE_OFFSET)
             & (jnp.abs(fy) < MAX_REFINE_OFFSET)
             & (jnp.abs(fx) < MAX_REFINE_OFFSET)
         )
-        valid = (vals > 0) & off_ok_f & (d_f > 0)
-        vals = jnp.where(valid, d_f, 0.0)
+        thr = contrast_threshold / cfg.S
+        valid = (vals > 0) & off_ok_f & eok & (jnp.abs(dh) > thr)
+        vals = jnp.where(valid, jnp.abs(dh), 0.0)
     else:
-        flat = fb + idx
-        fs = flat_take(off_fs, flat)
-        fy = flat_take(off_fy, flat)
-        fx = flat_take(off_fx, flat)
+        fs, fy, fx = os_, oy, ox
         valid = vals > 0
 
     # +1: interior offset from the VALID window; coords in octave pixels.
@@ -466,7 +515,7 @@ def detect_octave(
     MAX_REFINE_OFFSET from its voxel is re-fit at the neighbor voxel the
     fit points to, up to ``refine_iters`` hops — recovering the ~7% of
     true keypoints the single-shot offset gate rejects. The hops are
-    SPARSE (flat gathers on the already-dense offset fields for just the
+    SPARSE (per-candidate 3x3x3 DoG cube gathers + re-fit for just the
     top-k candidates), so the dense stencil work is unchanged.
     """
     return detect_octaves_batched(
