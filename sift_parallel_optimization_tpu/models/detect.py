@@ -48,10 +48,9 @@ def _grad_hess(dog: jax.Array):
     """Central differences at interior voxels of the TRAILING (D, H, W) axes.
 
     Returns g = (gs, gy, gx) and Hessian entries, each (..., D-2, H-2, W-2).
-    Used both densely (whole DoG stacks) and sparsely (gathered (K, 3, 3, 3)
-    candidate cubes, where the interior is the single center voxel) — one
-    set of expressions, so sparse re-fits are bitwise equal to the dense
-    fields they replace.
+    :func:`_cube_fit` re-derives the same expressions sparsely for gathered
+    candidate neighborhoods — keep the two in lockstep so sparse re-fits
+    stay bitwise equal to the dense fields they replace.
     """
     c = dog[..., 1:-1, 1:-1, 1:-1]
     ds_p, ds_m = dog[..., 2:, 1:-1, 1:-1], dog[..., :-2, 1:-1, 1:-1]
@@ -152,31 +151,49 @@ def _dense_score(
     return jnp.where(good, jnp.abs(d_hat), 0.0)
 
 
-def _cube_fit(cube: jax.Array, edge_ratio: float):
-    """Sparse Brown & Lowe re-fit on gathered (..., 3, 3, 3) DoG cubes.
+# The 19 voxels of a 3x3x3 neighborhood the quadratic fit actually reads
+# (center, 6 faces, 12 edges — the 8 corners appear in no stencil), as
+# (ds, dy, dx) offsets from the cube corner. Gathers are element-bound on
+# TPU (~13 ns/elem measured), so fetching 19 instead of 27 saves ~30% of
+# each refinement round's gather.
+_FIT_OFFSETS = tuple(
+    (ds, dy, dx)
+    for ds in range(3) for dy in range(3) for dx in range(3)
+    if (ds != 1) + (dy != 1) + (dx != 1) <= 2
+)
+_FIT_DS, _FIT_DY, _FIT_DX = [
+    jnp.asarray([o[i] for o in _FIT_OFFSETS], jnp.int32) for i in range(3)
+]
 
-    Same expressions as the dense ranking stage (via the shared
-    :func:`_grad_hess` / :func:`_solve3` / :func:`_edge_test`), so the
-    values are bitwise equal to the dense fields they replace. Returns
-    ``(off_s, off_y, off_x, d_hat, edge_ok)``, each shaped like the cube's
-    leading dims.
+
+def _cube_fit(vals19: jax.Array, edge_ratio: float):
+    """Sparse Brown & Lowe re-fit on gathered (..., 19) DoG neighborhoods
+    (laid out per :data:`_FIT_OFFSETS`).
+
+    Same expressions as the dense ranking stage's :func:`_grad_hess` /
+    :func:`_solve3` / :func:`_edge_test` (same ops in the same order on
+    the same f32 inputs), so the values are bitwise equal to the dense
+    fields they replace. Returns ``(off_s, off_y, off_x, d_hat, edge_ok)``,
+    each shaped like the leading dims.
     """
-    g, h = _grad_hess(cube)  # each (..., 1, 1, 1): the center voxel
+    v = {off: vals19[..., i] for i, off in enumerate(_FIT_OFFSETS)}
+    c = v[1, 1, 1]
+    ds_p, ds_m = v[2, 1, 1], v[0, 1, 1]
+    dy_p, dy_m = v[1, 2, 1], v[1, 0, 1]
+    dx_p, dx_m = v[1, 1, 2], v[1, 1, 0]
+    gs, gy, gx = (ds_p - ds_m) / 2, (dy_p - dy_m) / 2, (dx_p - dx_m) / 2
+    hss = ds_p + ds_m - 2 * c
+    hyy = dy_p + dy_m - 2 * c
+    hxx = dx_p + dx_m - 2 * c
+    hsy = (v[2, 2, 1] - v[2, 0, 1] - v[0, 2, 1] + v[0, 0, 1]) / 4
+    hsx = (v[2, 1, 2] - v[2, 1, 0] - v[0, 1, 2] + v[0, 1, 0]) / 4
+    hyx = (v[1, 2, 2] - v[1, 2, 0] - v[1, 0, 2] + v[1, 0, 0]) / 4
+    g = (gs, gy, gx)
+    h = (hss, hyy, hxx, hsy, hsx, hyx)
     off_s, off_y, off_x, _det3 = _solve3(h, g)
-    c = cube[..., 1:-1, 1:-1, 1:-1]
-    gs, gy, gx = g
-    _hss, hyy, hxx, _hsy, _hsx, hyx = h
     d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
     edge_ok = _edge_test(hyy, hxx, hyx, edge_ratio)
-    sq = lambda a: a[..., 0, 0, 0]
-    return sq(off_s), sq(off_y), sq(off_x), sq(d_hat), sq(edge_ok)
-
-
-# The 3x3x3 cube footprint as static flat-offset factors (ds, dy, dx).
-_CUBE_DS, _CUBE_DY, _CUBE_DX = [
-    jnp.asarray(a.reshape(-1), jnp.int32)
-    for a in np.meshgrid(*([np.arange(3)] * 3), indexing="ij")
-]
+    return off_s, off_y, off_x, d_hat, edge_ok
 
 
 def detect_octave_groups(
@@ -253,7 +270,7 @@ def detect_octave_groups_batched(
       contiguous row slice of the (B, V) score table.
     * the dense stage outputs ONLY the ranking score. Candidate offsets
       and gates are re-fit SPARSELY from gathered (3, 3, 3) DoG cubes —
-      ONE flat 27-offset gather per refinement round serves all frames,
+      ONE flat 19-offset gather per refinement round serves all frames,
       groups, and cube positions (see ``fit_at``). Materializing dense
       offset/gate fields and flat-gathering them instead costs
       ~0.6 ms/frame at 512^2 (the tiled->linear relayout of each
@@ -394,28 +411,29 @@ def detect_octave_groups_batched(
     # subtraction / padding producers; a (1, 3, 3, 3)-slice `lax.gather`
     # from the native 4-D stacks instead measured 1.1-2.5 ms/frame at
     # 512^2, and per-field dense-offset gathers ~0.6 ms — both relayout
-    # pathologies this flat copy avoids). A candidate's 3x3x3 cube is 27
-    # scalar offsets around its voxel; ONE flat gather per refinement
-    # round serves all frames, groups, and cube positions.
+    # pathologies this flat copy avoids). A candidate's fit neighborhood
+    # is 19 scalar offsets around its voxel (_FIT_OFFSETS); ONE flat
+    # gather per refinement round serves all frames, groups, and
+    # positions.
     flat_dog = (stacks[0].reshape(-1) if len(stacks) == 1 else
                 jnp.concatenate([s4.reshape(-1) for s4 in stacks]))
     wp_c = ws_c + 2                                  # padded canvas strides
     sp_c = (hs_c + 2) * wp_c
     if n_oct == 1:                                   # strides are static ints
-        deltas = _CUBE_DS * sp_c + _CUBE_DY * wp_c + _CUBE_DX        # (27,)
+        deltas = _FIT_DS * sp_c + _FIT_DY * wp_c + _FIT_DX           # (19,)
     else:
-        deltas = (_CUBE_DS * sp_c[..., None] + _CUBE_DY * wp_c[..., None]
-                  + _CUBE_DX)                                    # (B, K, 27)
+        deltas = (_FIT_DS * sp_c[..., None] + _FIT_DY * wp_c[..., None]
+                  + _FIT_DX)                                     # (B, K, 19)
 
     def fit_at(ps, py, px):
         """Re-fit all (B, K) candidates at voxel (ps, py, px): one flat
-        27-offset gather for the whole batch, then the shared sparse
+        19-offset gather for the whole batch, then the shared sparse
         Brown & Lowe expressions."""
         corner = (gstart_c + (frame_i * ng_c + row_c) * (ds2 * sp_c)
                   + ps * sp_c + py * wp_c + px)
-        pos = corner[..., None] + deltas             # (B, K, 27)
-        cube = flat_dog[pos.reshape(-1)].reshape(ps.shape + (3, 3, 3))
-        return _cube_fit(cube, edge_ratio)
+        pos = corner[..., None] + deltas             # (B, K, 19)
+        nbhd = flat_take(flat_dog, pos)
+        return _cube_fit(nbhd, edge_ratio)
 
     os_, oy, ox, dh, eok = fit_at(s_i, y_i, x_i)
     if refine_iters:
