@@ -291,6 +291,7 @@ def detect_octave_groups_batched(
     b = groups[0][0][1].shape[0]
     ds2 = groups[0][0][1].shape[1]
     seg_score = []
+    seg_base = []  # per group: flat score base of its first octave
     stacks = []  # per group: (B*n_g, S+2, hp, wp) DoG stack
     # Per-octave metadata (numpy, static): in-frame flat base offset,
     # padded dims for unravel, true interior limits for hop clipping,
@@ -336,6 +337,7 @@ def detect_octave_groups_batched(
             )
             score = jnp.where(inb, score, 0.0)
         v = ds * hs * ws
+        seg_base.append(base)
         for j, (o, d) in enumerate(grp):
             m_base.append(base + j * v)
             m_hs.append(hs)
@@ -351,26 +353,43 @@ def detect_octave_groups_batched(
         stacks.append(stack4)
         seg_score.append(score.reshape(b, -1))
 
-    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
-    score2d = cat(seg_score)                       # (B, V) for per-frame top-k
     n_total = base
 
-    # Static-shape extraction: one flat 1-D top-k PER FRAME (unrolled —
-    # B is static). On TPU, approx_max_k (tiled two-stage reduction) is
-    # ~200x faster than the exact sort-based top_k at these sizes — but
-    # ONLY in its 1-D form (see docstring); exact top_k elsewhere keeps
-    # CPU tests deterministic. recall_target=0.99 bounds the TPU-vs-CPU
-    # top-k divergence to ~1% of true candidates (guarded on hardware by
-    # tools/tpu_sanity.py).
+    # Static-shape extraction: flat 1-D top-k PER FRAME PER GROUP (both
+    # loops unrolled — B and the grouping are static), then an exact merge
+    # of the finalists. Per-group top-k beats one global top-k over the
+    # concatenated score (round-2 measurement, 512^2: the concat forces a
+    # second copy of the whole dense volume, while each group's
+    # tiled->linear relayout fuses with its own score producer). The merge
+    # selects the identical set: any global winner is inside its group's
+    # top-k, and ties resolve by flat index in both forms (group-major
+    # concat order == flat score order). On TPU, approx_max_k (tiled
+    # two-stage reduction) is ~200x faster than the exact sort-based top_k
+    # at these sizes — but ONLY in its 1-D form (see docstring); exact
+    # top_k elsewhere keeps CPU tests deterministic. recall_target=0.99
+    # bounds the TPU-vs-CPU top-k divergence to ~1% of true candidates
+    # (guarded on hardware by tools/tpu_sanity.py).
     k = min(capacity, n_total)
-    on_tpu = jax.default_backend() in ("tpu", "axon") and n_total >= 4096
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     vals_l, idx_l = [], []
     for bi in range(b):
-        row = score2d[bi] if b > 1 else score2d.reshape(-1)
-        if on_tpu:
-            v_b, i_b = lax.approx_max_k(row, k, recall_target=0.99)
+        parts_v, parts_i = [], []
+        for sc, g_base in zip(seg_score, seg_base):      # sc: (B, V_g)
+            row = sc[bi] if b > 1 else sc.reshape(-1)
+            kg = min(k, row.shape[0])
+            if on_tpu and row.shape[0] >= 4096:
+                v_g, i_g = lax.approx_max_k(row, kg, recall_target=0.99)
+            else:
+                v_g, i_g = lax.top_k(row, kg)
+            parts_v.append(v_g)
+            parts_i.append(i_g + g_base)
+        if len(parts_v) == 1:
+            v_b, i_b = parts_v[0], parts_i[0]
         else:
-            v_b, i_b = lax.top_k(row, k)
+            cv = jnp.concatenate(parts_v)                # (sum kg,) >= k
+            ci = jnp.concatenate(parts_i)
+            v_b, sel = lax.top_k(cv, k)
+            i_b = ci[sel]
         vals_l.append(v_b)
         idx_l.append(i_b)
     vals = jnp.stack(vals_l)                       # (B, K)
