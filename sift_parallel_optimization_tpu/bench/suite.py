@@ -129,7 +129,7 @@ def bench_matching(writer: MetricsWriter, k: int = 512, **kw) -> None:
 
 def bench_ba(
     writer: MetricsWriter, n_cams: int = 20, n_pts: int = 500,
-    n_iters: int = 10, **kw,
+    n_iters: int = 10, solvers=("dense", "cg"), **kw,
 ) -> None:
     from sift_parallel_optimization_tpu.models.ba import (
         BAState,
@@ -160,16 +160,17 @@ def bench_ba(
         rvecs=rvecs + 0.005, tvecs=tvecs + 0.01, points=pts + 0.02
     )
 
-    def step(x):
-        st = state._replace(points=state.points + 1e-12 * x.sum())
-        out = bundle_adjust(st, obs, K, n_iters=n_iters)
-        return out.points.sum() + out.tvecs.sum()
+    for solver in solvers:
+        def step(x, solver=solver):
+            st = state._replace(points=state.points + 1e-12 * x.sum())
+            out = bundle_adjust(st, obs, K, n_iters=n_iters, solver=solver)
+            return out.points.sum() + out.tvecs.sum()
 
-    ms = chained_slope_ms(step, pts, chain_lo=3, chain_hi=12, repeats=2)
-    writer.write(
-        f"ba_ms_{n_cams}cams_{n_pts}pts_{n_iters}iters", round(ms, 2), "ms",
-        obs=n_cams * n_pts,
-    )
+        ms = chained_slope_ms(step, pts, chain_lo=3, chain_hi=12, repeats=2)
+        writer.write(
+            f"ba_ms_{n_cams}cams_{n_pts}pts_{n_iters}iters", round(ms, 2),
+            "ms", obs=n_cams * n_pts, solver=solver,
+        )
 
 
 def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:

@@ -689,13 +689,18 @@ def schur_matvec(blk: ImplicitBlocks, x: jax.Array) -> jax.Array:
 def solve_schur_cg(
     blk: ImplicitBlocks,
     cg_iters: int = 25,
+    cg_tol: float = 1e-8,
 ) -> tuple[jax.Array, jax.Array]:
     """Preconditioned CG on the reduced camera system -> (delta_c, delta_p).
 
     Block-Jacobi preconditioner (per-camera 6x6 inverse of the damped Hcc
-    diagonal). Fixed trip count keeps the whole solve jittable with static
-    shapes; 25 iterations reaches well below the GN linearization error
-    for the target scene sizes (tested vs the dense solver).
+    diagonal). `lax.while_loop` with static shapes: runs until the
+    preconditioned residual norm drops to ``cg_tol * rz0`` (i.e. a 1e-4
+    relative residual at the default — far below GN linearization error)
+    or ``cg_iters``, whichever first. Late Gauss-Newton steps start near
+    the solution and exit in a handful of iterations, so the adaptive
+    stop cuts the converged-phase cost without touching the fixed point
+    (tested vs the dense solver). Set ``cg_tol=0`` for a fixed trip count.
     """
     y0 = jnp.einsum("pkl,pl->pk", blk.hpp_inv, blk.bp)
     b = blk.bc - _w_apply(blk, y0)                         # (C, 6)
@@ -712,9 +717,14 @@ def solve_schur_cg(
     z = prec(r)
     p = z
     rz = dot(r, z)
+    thresh = cg_tol * rz
 
-    def body(_, carry):
-        x, r, p, rz = carry
+    def cond(carry):
+        i, _x, _r, _p, rz = carry
+        return (i < cg_iters) & (rz > thresh)
+
+    def body(carry):
+        i, x, r, p, rz = carry
         ap = schur_matvec(blk, p)
         pap = dot(p, ap)
         alpha = jnp.where(pap > 1e-20, rz / jnp.maximum(pap, 1e-20), 0.0)
@@ -724,9 +734,9 @@ def solve_schur_cg(
         rz_new = dot(r, z)
         beta = jnp.where(rz > 1e-20, rz_new / jnp.maximum(rz, 1e-20), 0.0)
         p = z + beta * p
-        return x, r, p, rz_new
+        return i + 1, x, r, p, rz_new
 
-    x, r, p, rz = lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+    _, x, r, p, rz = lax.while_loop(cond, body, (0, x, r, p, rz))
     delta_c = x
     # Landmark back-substitution: delta_p = Hpp^-1 (bp - W^T delta_c).
     v = _wt_apply(blk, delta_c)
@@ -753,6 +763,7 @@ def ba_step(
     fix_first_cam: bool = True,
     solver: str = "dense",
     cg_iters: int = 25,
+    cg_tol: float = 1e-8,
     plan: GroupPlan | None = None,
 ) -> BAState:
     """One damped Gauss-Newton step with Schur-complement elimination.
@@ -769,7 +780,9 @@ def ba_step(
             huber_delta=huber_delta, fix_first_cam=fix_first_cam,
             plan=plan,
         )
-        delta_c, delta_p = solve_schur_cg(blk, cg_iters=cg_iters)
+        delta_c, delta_p = solve_schur_cg(
+            blk, cg_iters=cg_iters, cg_tol=cg_tol
+        )
     else:
         blocks = assemble_normal_blocks(
             state, obs, K,
@@ -791,6 +804,7 @@ def bundle_adjust(
     fix_first_cam: bool = True,
     solver: str = "dense",
     cg_iters: int = 25,
+    cg_tol: float = 1e-8,
     max_obs_per_point: int | None = None,
 ) -> BAState:
     """Run ``n_iters`` damped Gauss-Newton steps (static trip count).
@@ -814,6 +828,7 @@ def bundle_adjust(
             fix_first_cam=fix_first_cam,
             solver=solver,
             cg_iters=cg_iters,
+            cg_tol=cg_tol,
             plan=plan,
         )
 

@@ -109,6 +109,7 @@ def distributed_ba_step_cg(
     fix_first_cam: bool = True,
     axis: str = "data",
     cg_iters: int = 25,
+    cg_tol: float = 1e-8,
 ):
     """Implicit-Schur CG Gauss-Newton step, sharded over observations.
 
@@ -128,7 +129,9 @@ def distributed_ba_step_cg(
 
     Landmark updates come back through the same all_gather. The CG
     recurrence runs replicated (identical on every device — collectives
-    keep it bitwise in lockstep).
+    keep it bitwise in lockstep, so the adaptive ``cg_tol`` early exit
+    below takes the same trip count everywhere and the collectives stay
+    aligned).
     """
 
     def step(state: BAState, obs: Observations) -> BAState:
@@ -212,9 +215,14 @@ def distributed_ba_step_cg(
             z = prec(rr)
             p = z
             rz = jnp.sum(rr * z)
+            thresh = cg_tol * rz
 
-            def body(_, carry):
-                x, rr, p, rz = carry
+            def cond(carry):
+                i, _x, _rr, _p, rz = carry
+                return (i < cg_iters) & (rz > thresh)
+
+            def body(carry):
+                i, x, rr, p, rz = carry
                 ap = matvec(p)
                 pap = jnp.sum(p * ap)
                 alpha = jnp.where(
@@ -227,9 +235,11 @@ def distributed_ba_step_cg(
                 beta = jnp.where(
                     rz > 1e-20, rz_new / jnp.maximum(rz, 1e-20), 0.0
                 )
-                return x, rr, z + beta * p, rz_new
+                return i + 1, x, rr, z + beta * p, rz_new
 
-            x, rr, p, rz = lax.fori_loop(0, cg_iters, body, (x, rr, p, rz))
+            _, x, rr, p, rz = lax.while_loop(
+                cond, body, (0, x, rr, p, rz)
+            )
             delta_c = x
             dp_shard = jnp.einsum(
                 "pkl,pl->pk", hpp_inv_shard, bp_shard - wt_shard(delta_c)
@@ -265,6 +275,7 @@ def distributed_bundle_adjust(
     axis: str = "data",
     solver: str = "dense",
     cg_iters: int = 25,
+    cg_tol: float = 1e-8,
 ) -> BAState:
     """Sharded damped Gauss-Newton BA (jit this whole function).
 
@@ -278,6 +289,7 @@ def distributed_bundle_adjust(
             mesh, K,
             damping=damping, huber_delta=huber_delta,
             fix_first_cam=fix_first_cam, axis=axis, cg_iters=cg_iters,
+            cg_tol=cg_tol,
         )
     else:
         step = distributed_ba_step(
