@@ -235,6 +235,22 @@ def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
             dtype=dtype_name,
         )
 
+    # --- blur matmul precision sweep (the MXU pass-count knob): HIGHEST
+    # (full f32, geometry-grade) vs HIGH (3-pass bf16, detection-grade —
+    # halves pyramid cost, doubles reprojection RMS; see
+    # PyramidConfig.blur_precision for the measured tradeoff).
+    for prec_name in ("highest", "high"):
+        cfg = sift_config(size, blur_precision=prec_name)
+
+        def step(x):
+            return sum(o.sum() for o in sift_gaussian_pyramid(x, cfg))
+
+        ms = chained_slope_ms(step, img)
+        writer.write(
+            f"matrix_sift_pyramid_ms_{size}", round(ms, 4), "ms",
+            blur_precision=prec_name,
+        )
+
     # --- frame-batch sweep on the frontend (per-frame cost vs B), for
     # BOTH batching strategies: plain vmap (loses — batched top-k/gather
     # lowerings + relayout copies) and the production batched path

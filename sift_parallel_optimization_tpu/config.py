@@ -90,6 +90,15 @@ class PyramidConfig:
         ``min_octave_size``).
       min_octave_size: smallest octave side computed in SIFT mode.
       dtype: compute dtype. float32 for parity; bfloat16 for max throughput.
+      blur_precision: TPU matmul precision of the SIFT-mode blur matmuls —
+        a MEASURED speed/accuracy knob (v5e, 512^2, round 2; see
+        core/pyramid_ref.blur_bank for the numbers). "highest" (default)
+        is full f32 — required for geometry (SfM/BA reprojection gates are
+        calibrated on it). "high" (3-pass bf16) halves the pyramid cost
+        with near-identical detection but doubles reprojection RMS — use
+        for detection/throughput workloads that never triangulate.
+        "default" (1-pass bf16) is the known-broken spurious-extrema trap
+        and is rejected.
     """
 
     length: int = 512
@@ -100,6 +109,24 @@ class PyramidConfig:
     max_octaves: Optional[int] = None
     min_octave_size: int = 8
     dtype: jnp.dtype = jnp.float32
+    blur_precision: str = "highest"
+
+    @property
+    def blur_lax_precision(self):
+        """lax.Precision for the blur matmuls (validates the knob)."""
+        import jax
+
+        allowed = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+        }
+        if self.blur_precision not in allowed:
+            raise ValueError(
+                f"blur_precision must be one of {sorted(allowed)} "
+                f"(got {self.blur_precision!r}); 1-pass bf16 'default' is "
+                "rejected — it injects spurious DoG extrema (CLAUDE.md)."
+            )
+        return allowed[self.blur_precision]
 
     @property
     def n_scales(self) -> int:

@@ -270,7 +270,11 @@ def blur_matrix(size: int, sigma: float) -> jnp.ndarray:
     return jnp.asarray(b)
 
 
-def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
+def blur_bank(
+    base: jax.Array,
+    sigmas: Sequence[float],
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
     """(H, W) base -> (len(sigmas), H, W): all blurs in two batched matmuls.
 
     out_s = B^H_s^T @ base @ B^W_s with B^D_s = blur_matrix(D, sigma_s).
@@ -278,11 +282,25 @@ def blur_bank(base: jax.Array, sigmas: Sequence[float]) -> jax.Array:
     loop (GuassDePyramid.h:106-134 and every SIMD/thread variant of it):
     the MXU does all scales of an octave concurrently instead of 2*(S+3)
     separate elementwise passes.
+
+    ``precision`` is a measured speed/accuracy knob (v5e, 512^2, K=512,
+    round 2 — see PyramidConfig.blur_precision):
+
+    * HIGHEST (default): full-f32 blurs; pyramid 0.149 ms/frame. The
+      accuracy anchor — SfM sanity gates (reprojection RMS 0.21 px,
+      5-frame ATE 0.6% of span) are calibrated here.
+    * HIGH (3-pass bf16): pyramid 0.073 ms/frame. Detection is nearly
+      unchanged (117 vs 118 keypoints, 100% position-matched < 0.5 px)
+      but the residual ~1e-6 blur error is AMPLIFIED by the subpixel
+      fit's second differences (DoG entries are O(1e-2), Hessians
+      O(1e-3)): on-chip reprojection RMS doubles (0.21 -> 0.41 px) and
+      the 5-frame sanity ATE degrades 0.6% -> 7% of span. Fine for
+      detection/throughput workloads; NOT for geometry.
+    * DEFAULT (1-pass bf16): broken for this pipeline — ~1e-3 blur error
+      injects spurious DoG extrema (441 detections where f32 finds 118;
+      the round-1 bf16 trap, see CLAUDE.md).
     """
-    # precision=HIGHEST: TPU's default matmul precision is bf16, whose
-    # ~1e-3 error on the blur matmuls injects spurious DoG extrema (TPU
-    # detected 97 keypoints where f32 CPU found 62 on the same frame).
-    prec = jax.lax.Precision.HIGHEST
+    prec = precision
     dt = base.dtype
     h, w = base.shape[-2], base.shape[-1]
     bank = jnp.stack([blur_matrix(w, s) for s in sigmas]).astype(dt)
@@ -321,15 +339,18 @@ def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]
     mode, octaves cascade instead of subsampling the original image.
     """
     x = img.astype(cfg.dtype)
+    prec = cfg.blur_lax_precision
     base_sigma = math.sqrt(max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12))
     # Base blur ALSO as a Toeplitz matmul: the 1-channel conv lowering of
     # separable_blur costs ~1.4 ms at 512^2 on TPU (starved MXU); the same
     # op as B^T X B is ~0.02 ms.
-    x = blur_bank(x, [base_sigma])[0]
+    x = blur_bank(x, [base_sigma], precision=prec)[0]
     rel = _octave_scale_sigmas(cfg)
     octaves = []
     for _o in range(cfg.n_octaves):
-        octave = jnp.concatenate([x[None], blur_bank(x, rel)], axis=0)
+        octave = jnp.concatenate(
+            [x[None], blur_bank(x, rel, precision=prec)], axis=0
+        )
         octaves.append(octave)
         # Next octave base: scale index S has absolute blur 2*sigma0.
         x = strided_subsample(octave[cfg.S], 2)

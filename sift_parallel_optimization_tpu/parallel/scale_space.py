@@ -326,7 +326,7 @@ def _band_matrices(h: int, sigmas, dtype) -> jnp.ndarray:
 
 def sharded_blur_bank(
     mesh: Mesh, height: int, width: int, sigmas, axis: str = "spatial",
-    dtype=jnp.float32,
+    dtype=jnp.float32, precision=None,
 ):
     """Row-sharded multi-scale Gaussian blur as two MXU matmuls per shard.
 
@@ -351,7 +351,11 @@ def sharded_blur_bank(
     bank_w = jnp.stack(
         [blur_matrix(width, s) for s in sigmas]
     ).astype(dtype)
-    prec = jax.lax.Precision.HIGHEST
+    # Same measured speed/accuracy knob as blur_bank (HIGHEST = geometry
+    # accuracy anchor; HIGH = 2x cheaper, detection-grade only; DEFAULT
+    # 1-pass bf16 = the known spurious-extrema trap). See
+    # core/pyramid_ref.blur_bank and PyramidConfig.blur_precision.
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
 
     def local(x, bw, band):
         x_ext = exchange_rows(x, r, axis)               # (h + 2r, W)
@@ -408,20 +412,23 @@ def sharded_sift_gaussian_pyramid(img: jax.Array, cfg, mesh: Mesh) -> list[jax.A
         return size % (2 * n_sp) == 0 and size // n_sp >= max(2 * max_r, 8)
 
     octaves = []
+    prec = cfg.blur_lax_precision
     sharded = can_shard(x.shape[0])
     if sharded:
         x = sharded_blur_bank(
-            mesh, x.shape[0], x.shape[1], [base_sigma], dtype=cfg.dtype
+            mesh, x.shape[0], x.shape[1], [base_sigma], dtype=cfg.dtype,
+            precision=prec,
         )(x)[0]
     else:
-        x = blur_bank(x, [base_sigma])[0]
+        x = blur_bank(x, [base_sigma], precision=prec)[0]
     for _o in range(cfg.n_octaves):
         if sharded:
             blurred = sharded_blur_bank(
-                mesh, x.shape[0], x.shape[1], rel, dtype=cfg.dtype
+                mesh, x.shape[0], x.shape[1], rel, dtype=cfg.dtype,
+                precision=prec,
             )(x)
         else:
-            blurred = blur_bank(x, rel)
+            blurred = blur_bank(x, rel, precision=prec)
         octave = jnp.concatenate([x[None], blurred], axis=0)
         octaves.append(octave)
         x = strided_subsample(octave[cfg.S], 2)

@@ -133,3 +133,23 @@ def test_sift_pyramid_blur_monotone(rng):
     # Composed discrete kernels are not exactly nested; allow a tiny
     # discretization artifact (observed ~7e-5 on a 32x32 image).
     assert np.all(np.diff(variances) <= 2e-4)
+
+
+def test_blur_precision_knob(rng):
+    # The knob only changes TPU matmul pass counts; on CPU every precision
+    # computes identical f32 values, so the plumbing must be value-neutral.
+    img = jnp.asarray(rng.random((32, 32)).astype(np.float32))
+    out = {}
+    for prec in ("highest", "high"):
+        cfg = PyramidConfig(
+            length=32, S=2, mode=ScaleSpaceMode.SIFT, blur_precision=prec
+        )
+        out[prec] = sift_gaussian_pyramid(img, cfg)
+    for a, b in zip(out["highest"], out["high"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 1-pass bf16 ("default") is the known spurious-extrema trap: rejected.
+    bad = PyramidConfig(
+        length=32, S=2, mode=ScaleSpaceMode.SIFT, blur_precision="default"
+    )
+    with pytest.raises(ValueError):
+        _ = bad.blur_lax_precision
