@@ -4,6 +4,8 @@ from sift_parallel_optimization_tpu.models.ba import (  # noqa: F401
     BAState,
     Observations,
     bundle_adjust,
+    bundle_adjust_lm,
+    resolve_solver,
 )
 from sift_parallel_optimization_tpu.models.frontend import (  # noqa: F401
     Features,

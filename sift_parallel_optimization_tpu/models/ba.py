@@ -76,7 +76,13 @@ def rms_error(state: BAState, obs: Observations, K: jax.Array) -> jax.Array:
 
 
 def _obs_jacobians(state: BAState, obs: Observations, K: jax.Array):
-    """Per-observation Jacobians: Jc (M, 2, 6), Jp (M, 2, 3), r (M, 2)."""
+    """Per-observation Jacobians: Jc (M, 2, 6), Jp (M, 2, 3), r (M, 2).
+
+    REFERENCE IMPLEMENTATION (autodiff, 9 jacfwd tangent passes): kept as
+    the agreement oracle for `_analytic_jacobians`
+    (tests/test_geometry_ba.py); all production assembly — dense and
+    implicit — linearizes with the closed-form path.
+    """
 
     def one(rvec, tvec, pt, uv):
         def f_cam(c):
@@ -301,10 +307,16 @@ def assemble_normal_blocks(
     huber_delta: float | None = None,
     fix_first_cam: bool = True,
 ) -> NormalBlocks:
-    """Linearize all observations and reduce them into block form."""
+    """Linearize all observations and reduce them into block form.
+
+    Linearization uses the closed-form `_analytic_jacobians` (the jacfwd
+    path `_obs_jacobians` is the test-only oracle — round-2 measured the
+    9-tangent-pass autodiff at ~an order of magnitude more ops on the BA
+    hot path).
+    """
     C = state.rvecs.shape[0]
     P = state.points.shape[0]
-    jc, jp, r = _obs_jacobians(state, obs, K)       # (M,2,6) (M,2,3) (M,2)
+    jc, jp, r = _analytic_jacobians(state, obs, K)  # (M,2,6) (M,2,3) (M,2)
     if huber_delta is not None:
         hw = _huber_weights(r, huber_delta)[:, None, None]
         jc = jc * jnp.sqrt(hw)
@@ -754,6 +766,28 @@ def apply_deltas(
     )
 
 
+# C * P above which "auto" prefers the implicit-Schur CG solver: the dense
+# cross block W is C*P*18 f32 (4.7 MB at the threshold) and its assembly /
+# Y-einsums start to dominate, while CG's grouped layout amortizes. Chosen
+# so the north-star 50-cam x 6400-pt SfM map takes the CG path and the
+# small windowed-odometry / test scenes keep the bit-stable dense solve.
+DENSE_CROSS_LIMIT = 65_536
+
+
+def resolve_solver(
+    n_cams: int, n_points: int, solver: str = "auto"
+) -> str:
+    """Pick the Schur solver from STATIC capacities (shapes, not values).
+
+    "auto" -> "cg" when the dense (C, P, 6, 3) cross block would exceed
+    `DENSE_CROSS_LIMIT` camera-point cells, else "dense". Explicit
+    "dense"/"cg" pass through.
+    """
+    if solver != "auto":
+        return solver
+    return "cg" if n_cams * n_points >= DENSE_CROSS_LIMIT else "dense"
+
+
 def ba_step(
     state: BAState,
     obs: Observations,
@@ -809,10 +843,15 @@ def bundle_adjust(
 ) -> BAState:
     """Run ``n_iters`` damped Gauss-Newton steps (static trip count).
 
-    For the CG solver the observation grouping (make_group_plan) is
-    computed once here and reused by every step — the layout depends only
-    on the index structure, not on the evolving state.
+    ``solver`` may be "auto" (resolved from the static camera/point
+    capacities — see :func:`resolve_solver`). For the CG solver the
+    observation grouping (make_group_plan) is computed once here and
+    reused by every step — the layout depends only on the index
+    structure, not on the evolving state.
     """
+    solver = resolve_solver(
+        state.rvecs.shape[0], state.points.shape[0], solver
+    )
     plan = None
     if solver == "cg":
         plan = make_group_plan(
@@ -833,3 +872,105 @@ def bundle_adjust(
         )
 
     return lax.fori_loop(0, n_iters, body, state)
+
+
+def robust_cost(
+    state: BAState,
+    obs: Observations,
+    K: jax.Array,
+    huber_delta: float | None = None,
+) -> jax.Array:
+    """The scalar objective Gauss-Newton/LM minimizes: sum of (Huber)
+    losses over valid observations. Invalid slots contribute zero (their
+    residuals are zeroed by :func:`residuals`)."""
+    r = residuals(state, obs, K)                    # (M, 2)
+    n2 = jnp.sum(r * r, axis=-1)
+    if huber_delta is None:
+        return 0.5 * jnp.sum(n2)
+    n = jnp.sqrt(n2 + 1e-24)
+    hub = jnp.where(
+        n <= huber_delta, 0.5 * n2, huber_delta * (n - 0.5 * huber_delta)
+    )
+    return jnp.sum(hub)
+
+
+def bundle_adjust_lm(
+    state: BAState,
+    obs: Observations,
+    K: jax.Array,
+    max_iters: int = 20,
+    lambda_init: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 2.0,
+    lambda_max: float = 1e3,
+    lambda_min: float = 1e-8,
+    huber_delta: float | None = None,
+    fix_first_cam: bool = True,
+    solver: str = "auto",
+    cg_iters: int = 25,
+    cg_tol: float = 1e-8,
+    max_obs_per_point: int | None = None,
+) -> BAState:
+    """Adaptive Levenberg-Marquardt: accept/reject with lambda up/down.
+
+    Fixed-lambda Gauss-Newton (``bundle_adjust``) diverges from poor
+    initializations (real-sequence PnP seeds — the north-star config-4/5
+    robustness gap): a step that increases the cost is still applied.
+    This variant evaluates the true objective after every trial step and
+    REJECTS increases, raising lambda (toward gradient descent) until a
+    step is productive, lowering it (toward Gauss-Newton) while steps
+    succeed — the standard LM trust-region-by-damping loop, phrased as a
+    `lax.while_loop` with static shapes so one compiled program serves
+    every trajectory of accepts/rejects.
+
+    Cost-neutral when GN already converges: each iteration then costs one
+    GN step plus one residual evaluation (the accept test), and the loop
+    exits early when lambda falls below ``lambda_min`` * heuristics or
+    the iteration budget is spent. Exits when lambda exceeds
+    ``lambda_max`` (stalled — no descent direction at any damping).
+    """
+    solver = resolve_solver(
+        state.rvecs.shape[0], state.points.shape[0], solver
+    )
+    plan = None
+    if solver == "cg":
+        plan = make_group_plan(
+            obs, state.rvecs.shape[0], state.points.shape[0],
+            max_obs_per_point,
+        )
+
+    c0 = robust_cost(state, obs, K, huber_delta)
+
+    def cond(carry):
+        i, _st, lam, _c = carry
+        return (i < max_iters) & (lam < lambda_max)
+
+    def body(carry):
+        i, st, lam, c = carry
+        trial = ba_step(
+            st, obs, K,
+            damping=lam,
+            huber_delta=huber_delta,
+            fix_first_cam=fix_first_cam,
+            solver=solver,
+            cg_iters=cg_iters,
+            cg_tol=cg_tol,
+            plan=plan,
+        )
+        c_new = robust_cost(trial, obs, K, huber_delta)
+        accept = jnp.isfinite(c_new) & (c_new < c)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(accept, b, a), st, trial
+        )
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / lambda_down, lambda_min),
+            lam * lambda_up,
+        )
+        c = jnp.where(accept, c_new, c)
+        return i + 1, st, lam, c
+
+    _, state, _, _ = lax.while_loop(
+        cond, body, (0, state, jnp.asarray(lambda_init, jnp.float32), c0)
+    )
+    return state

@@ -103,6 +103,7 @@ def run_odometry(
     ba_iters: int = 8,
     damping: float = 1e-4,
     huber_delta: float | None = 2.0,
+    solver: str = "auto",
 ) -> tuple[Trajectory, SfmMap]:
     """Constant-memory odometry over a frame sequence of ANY length.
 
@@ -110,6 +111,10 @@ def run_odometry(
     (whose capacities depend only on ``window`` and ``pts_per_frame``).
     Poses of evicted frames are frozen at eviction time; frames still in
     the final window carry the last window-BA refinement.
+
+    ``solver`` picks the window-BA Schur solver ("auto" resolves from the
+    window capacities — small windows keep the dense solve, wide windows
+    take the implicit-Schur CG path; models/ba.py resolve_solver).
     """
     n = len(features)
     W = window
@@ -127,11 +132,18 @@ def run_odometry(
     shift_fn = jax.jit(
         functools.partial(shift_window, pts_per_frame=pts_per_frame)
     )
+    from sift_parallel_optimization_tpu.models.ba import resolve_solver
+
+    solver = resolve_solver(W, W * pts_per_frame, solver)
+    ba_kwargs: dict = dict(
+        damping=damping, huber_delta=huber_delta, solver=solver,
+    )
+    if solver == "cg":
+        # A window landmark sees at most every window frame (2 birth obs
+        # + one PnP re-observation per remaining frame).
+        ba_kwargs["max_obs_per_point"] = -(-W // 8) * 8
     ba_fn = jax.jit(
-        functools.partial(
-            bundle_adjust,
-            n_iters=ba_iters, damping=damping, huber_delta=huber_delta,
-        )
+        functools.partial(bundle_adjust, n_iters=ba_iters, **ba_kwargs)
     )
 
     frozen_r: list[jax.Array] = []   # evicted poses, world frame, final

@@ -29,6 +29,7 @@ from sift_parallel_optimization_tpu.models.ba import (
     BAState,
     Observations,
     bundle_adjust,
+    resolve_solver,
 )
 from sift_parallel_optimization_tpu.models.frontend import Features
 from sift_parallel_optimization_tpu.models.geometry import (
@@ -389,6 +390,7 @@ def run_sfm(
     max_loops: int = 8,
     pgo_mesh=None,
     local_window: int | None = None,
+    solver: str = "auto",
 ) -> SfmMap:
     """Full incremental pipeline over a list of per-frame features.
 
@@ -411,6 +413,14 @@ def run_sfm(
     only against landmarks born within the window — O(window) matching
     for long sequences); loop closure then carries the burden of
     re-associating revisited places against the old map.
+
+    ``solver`` selects the BA Schur solver ("auto" resolves from the map
+    capacities — models/ba.py resolve_solver: the north-star ~50-frame
+    scene takes the implicit-Schur CG path with analytic Jacobians, tiny
+    scenes keep the bit-stable dense solve). The CG group capacity is the
+    structural bound on observations per landmark in this driver's block
+    layout: 2 birth obs + at most one PnP re-observation per later frame
+    + up to ``max_loops`` loop re-observations -> n + max_loops.
     """
     import functools
 
@@ -448,17 +458,20 @@ def run_sfm(
             local_window=local_window,
         )
     )
+    solver = resolve_solver(n, n * pts_per_frame, solver)
+    ba_kwargs: dict = dict(
+        damping=damping, huber_delta=huber_delta, solver=solver,
+    )
+    if solver == "cg":
+        # Structural per-landmark observation bound (see docstring),
+        # rounded up to the sublane multiple.
+        ba_kwargs["max_obs_per_point"] = -(-(n + max_loops) // 8) * 8
     ba_mid = jax.jit(
-        functools.partial(
-            bundle_adjust,
-            n_iters=5, damping=damping, huber_delta=huber_delta,
-        )
+        functools.partial(bundle_adjust, n_iters=5, **ba_kwargs)
     )
     ba_final = jax.jit(
         functools.partial(
-            bundle_adjust,
-            n_iters=final_ba_iters, damping=damping,
-            huber_delta=huber_delta,
+            bundle_adjust, n_iters=final_ba_iters, **ba_kwargs
         )
     )
 

@@ -8,6 +8,9 @@ from sift_parallel_optimization_tpu.models.ba import (
     BAState,
     Observations,
     bundle_adjust,
+    bundle_adjust_lm,
+    resolve_solver,
+    robust_cost,
     rms_error,
 )
 from sift_parallel_optimization_tpu.models.geometry import (
@@ -185,6 +188,84 @@ class TestBundleAdjustment:
         fn = jax.jit(lambda s: bundle_adjust(s, obs, K, n_iters=2))
         out = fn(gt)
         assert float(rms_error(out, obs, K)) < 0.1
+
+
+class TestSolverResolution:
+    def test_auto_picks_dense_for_small_scenes(self):
+        assert resolve_solver(6, 60, "auto") == "dense"
+        assert resolve_solver(8, 1024, "auto") == "dense"
+
+    def test_auto_picks_cg_for_large_scenes(self):
+        assert resolve_solver(50, 6400, "auto") == "cg"
+        assert resolve_solver(200, 4000, "auto") == "cg"
+
+    def test_explicit_choice_passes_through(self):
+        assert resolve_solver(2, 2, "cg") == "cg"
+        assert resolve_solver(1000, 1000, "dense") == "dense"
+
+    def test_bundle_adjust_accepts_auto(self, rng):
+        gt, obs = _ba_scene(rng, n_cams=3, n_pts=20)
+        out = bundle_adjust(gt, obs, K, n_iters=2, solver="auto")
+        assert float(rms_error(out, obs, K)) < 0.1
+
+
+class TestAdaptiveLM:
+    """Levenberg-Marquardt accept/reject (the config-4/5 robustness gap:
+    fixed-lambda GN diverges from poor PnP initializations)."""
+
+    def _bad_init(self, gt, seed=3):
+        # Seed found by sweep: fixed-lambda GN (damping=1e-4) stalls at
+        # rms ~277 px from this initialization while LM converges.
+        r2 = np.random.default_rng(seed)
+        return BAState(
+            rvecs=gt.rvecs
+            + 0.3 * r2.normal(size=gt.rvecs.shape).astype(np.float32),
+            tvecs=gt.tvecs
+            + 0.6 * r2.normal(size=gt.tvecs.shape).astype(np.float32),
+            points=gt.points
+            + 0.3 * r2.normal(size=gt.points.shape).astype(np.float32),
+        )
+
+    def test_lm_converges_where_fixed_lambda_gn_fails(self, rng):
+        gt, obs = _ba_scene(rng)
+        noisy = self._bad_init(gt)
+        gn = bundle_adjust(noisy, obs, K, n_iters=30, damping=1e-4)
+        lm = bundle_adjust_lm(
+            noisy, obs, K, max_iters=60, lambda_init=1e-2
+        )
+        e_gn = float(rms_error(gn, obs, K))
+        e_lm = float(rms_error(lm, obs, K))
+        assert e_gn > 1.0, f"GN unexpectedly converged: {e_gn}"
+        assert e_lm < 1e-3, f"LM failed to converge: {e_lm}"
+
+    def test_lm_never_increases_cost(self, rng):
+        gt, obs = _ba_scene(rng)
+        noisy = self._bad_init(gt, seed=26)  # GN explodes to ~1e8 here
+        c0 = float(robust_cost(noisy, obs, K))
+        out = bundle_adjust_lm(noisy, obs, K, max_iters=20)
+        c1 = float(robust_cost(out, obs, K))
+        assert np.isfinite(c1) and c1 <= c0
+
+    def test_lm_matches_gn_on_easy_scene(self, rng):
+        gt, obs = _ba_scene(rng)
+        noisy = BAState(
+            rvecs=gt.rvecs
+            + 0.01 * rng.normal(size=gt.rvecs.shape).astype(np.float32),
+            tvecs=gt.tvecs
+            + 0.03 * rng.normal(size=gt.tvecs.shape).astype(np.float32),
+            points=gt.points
+            + 0.05 * rng.normal(size=gt.points.shape).astype(np.float32),
+        )
+        lm = bundle_adjust_lm(noisy, obs, K, max_iters=15)
+        assert float(rms_error(lm, obs, K)) < 0.05
+
+    def test_lm_jits_with_cg_solver(self, rng):
+        gt, obs = _ba_scene(rng, n_cams=5, n_pts=40)
+        noisy = gt._replace(points=gt.points + 0.05)
+        fn = jax.jit(
+            lambda s: bundle_adjust_lm(s, obs, K, max_iters=8, solver="cg")
+        )
+        assert float(rms_error(fn(noisy), obs, K)) < 0.05
 
 
 class TestImplicitSchurCG:
