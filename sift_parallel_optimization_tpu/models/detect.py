@@ -225,6 +225,7 @@ def detect_octave_groups_batched(
     contrast_threshold: float = CONTRAST_THRESHOLD,
     edge_ratio: float = EDGE_RATIO,
     refine_iters: int = 1,
+    use_approx_topk: bool | None = None,
 ) -> Keypoints:
     """Detect over B frames' pyramids in ONE fused program -> (B, capacity)
     keypoint slots, each frame's slots shared across its octaves (global
@@ -368,16 +369,20 @@ def detect_octave_groups_batched(
     # at these sizes — but ONLY in its 1-D form (see docstring); exact
     # top_k elsewhere keeps CPU tests deterministic. recall_target=0.99
     # bounds the TPU-vs-CPU top-k divergence to ~1% of true candidates
-    # (guarded on hardware by tools/tpu_sanity.py).
+    # (guarded on hardware by tools/tpu_sanity.py's direct recall check).
+    # ``use_approx_topk`` overrides the backend default so the CPU suite
+    # can exercise the TPU branch (approx_max_k runs on CPU too, it just
+    # only WINS on TPU) — closing the backend-divergence test gap.
     k = min(capacity, n_total)
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if use_approx_topk is None:
+        use_approx_topk = jax.default_backend() in ("tpu", "axon")
     vals_l, idx_l = [], []
     for bi in range(b):
         parts_v, parts_i = [], []
         for sc, g_base in zip(seg_score, seg_base):      # sc: (B, V_g)
             row = sc[bi] if b > 1 else sc.reshape(-1)
             kg = min(k, row.shape[0])
-            if on_tpu and row.shape[0] >= 4096:
+            if use_approx_topk and row.shape[0] >= 4096:
                 v_g, i_g = lax.approx_max_k(row, kg, recall_target=0.99)
             else:
                 v_g, i_g = lax.top_k(row, kg)

@@ -75,6 +75,69 @@ class TestDetect:
         assert int(kp.count()) >= 1
 
 
+class TestApproxTopK:
+    """Exercise the TPU-only approx_max_k extraction branch ON CPU.
+
+    ``use_approx_topk=True`` forces the branch the TPU takes by default
+    (models/detect.py) — it runs on CPU, just without the speed win — so
+    the 1%-recall divergence class is guarded by the suite, not only by
+    the on-hardware sanity gate (tools/tpu_sanity.py adds the direct
+    recall measurement on a real DoG score volume).
+    """
+
+    def _textured(self, size=256, seed=0):
+        rng = np.random.default_rng(seed)
+        img = rng.normal(0.5, 0.5, (size, size))
+        # Cheap smoothing (separable binomial) to create blob-rich texture
+        # without a scipy dependency.
+        k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+        for _ in range(3):
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), 0, img
+            )
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), 1, img
+            )
+        return jnp.asarray(np.clip(img, 0, 1).astype(np.float32))
+
+    @staticmethod
+    def _keyset(kp):
+        kp = jax.tree.map(np.asarray, kp)
+        v = kp.valid
+        return set(
+            zip(
+                np.round(kp.x[v], 3),
+                np.round(kp.y[v], 3),
+                np.round(kp.sigma[v], 3),
+            )
+        )
+
+    def test_approx_branch_recall_vs_exact(self):
+        cfg = sift_config(256)
+        dogs = sift_dog_pyramid(self._textured(), cfg)
+        exact = detect_pyramid(
+            dogs, cfg, max_keypoints=64, use_approx_topk=False
+        )
+        approx = detect_pyramid(
+            dogs, cfg, max_keypoints=64, use_approx_topk=True
+        )
+        se, sa = self._keyset(exact), self._keyset(approx)
+        assert len(se) >= 30, f"test image too sparse: {len(se)} keypoints"
+        recall = len(se & sa) / len(se)
+        assert recall >= 0.95, f"approx top-k recall {recall:.3f}"
+
+    def test_approx_branch_jits(self):
+        cfg = sift_config(128)
+        img = self._textured(128, seed=1)
+        fn = jax.jit(
+            lambda im: detect_pyramid(
+                sift_dog_pyramid(im, cfg), cfg, 64, use_approx_topk=True
+            )
+        )
+        kp = fn(img)
+        assert int(kp.count()) > 0
+
+
 class TestFusedDetection:
     """The fused single-top-k pyramid detection must select exactly the
     union of the per-octave valid sets (exact top-k, capacity not

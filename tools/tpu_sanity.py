@@ -145,6 +145,47 @@ def main() -> int:
     )
     check("descriptor norms == 1", bool(np.allclose(norms, 1, atol=1e-3)))
 
+    # 3b. Direct approx-top-k recall on a real DoG score volume: the TPU
+    #     extraction branch uses lax.approx_max_k(recall_target=0.99); a
+    #     recall regression here previously could only surface as an ATE
+    #     regression two stages later.
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        sift_dog_pyramid,
+    )
+    from sift_parallel_optimization_tpu.models.detect import detect_pyramid
+
+    cfg_r = sift_config(size)
+    dogs_r = sift_dog_pyramid(jnp.asarray(frame), cfg_r)
+    kp_exact = jax.jit(
+        lambda d: detect_pyramid(d, cfg_r, 128, use_approx_topk=False)
+    )(dogs_r)
+    kp_approx = jax.jit(
+        lambda d: detect_pyramid(d, cfg_r, 128, use_approx_topk=True)
+    )(dogs_r)
+
+    def _keyset(kp):
+        v = np.asarray(kp.valid)
+        return set(
+            zip(
+                np.round(np.asarray(kp.x)[v], 2),
+                np.round(np.asarray(kp.y)[v], 2),
+                np.round(np.asarray(kp.sigma)[v], 2),
+            )
+        )
+
+    se, sa = _keyset(kp_exact), _keyset(kp_approx)
+    misses = len(se) - len(se & sa)
+    # recall_target=0.99 is statistical; with a small keypoint set the
+    # honest gate is "at most ceil(1%) misses" (measured on v5e:
+    # 64/65 — exactly one boundary candidate differs).
+    allowed = max(1, round(0.01 * len(se)))
+    check(
+        "approx top-k recall vs exact >= 0.99",
+        len(se) > 0 and misses <= allowed,
+        f"recall={len(se & sa) / max(len(se), 1):.4f}"
+        f" ({len(se & sa)}/{len(se)})",
+    )
+
     # 4. End-to-end SfM on a rendered trajectory (catches geometry-stack
     #    precision regressions: was RMS ~5000 px under bf16 matmuls).
     from sift_parallel_optimization_tpu.models.ba import rms_error
