@@ -243,21 +243,30 @@ def ransac_fundamental(
 ) -> RansacResult:
     """Batched 8-point RANSAC fundamental matrix with Sampson scoring.
 
-    Points are Hartley-normalized per hypothesis sample for conditioning;
-    the model is de-normalized before return.
+    Points are Hartley-normalized PER HYPOTHESIS SAMPLE (the textbook
+    8-point protocol — each minimal sample's own mean/spread conditions
+    its DLT system, so clustered degenerate samples stay well scaled);
+    each hypothesis is de-normalized with its own transforms before
+    pixel-space scoring.
     """
-    pn1, t1 = _normalize_points(p1, mask)
-    pn2, t2 = _normalize_points(p2, mask)
     idx = _sample_indices(key, mask, n_hypotheses, 8)
-    f = jax.vmap(lambda i: _fundamental_from_8(pn1[i], pn2[i]))(idx)
-    f_ok = jnp.all(jnp.isfinite(f.reshape(n_hypotheses, -1)), axis=-1)
-    f = jnp.where(f_ok[:, None, None], f, jnp.eye(3))
+
+    def solve_one(i):
+        q1, q2 = p1[i], p2[i]                          # (8, 2) raw pixels
+        ones = jnp.ones(8)
+        qn1, s_t1 = _normalize_points(q1, ones)
+        qn2, s_t2 = _normalize_points(q2, ones)
+        fn = _fundamental_from_8(qn1, qn2)
+        # De-normalize: p2n^T F p1n = p2^T (T2^T F T1) p1.
+        return s_t2.T @ fn @ s_t1
+
+    f_px = jax.vmap(solve_one)(idx)                    # (N, 3, 3)
+    f_ok = jnp.all(jnp.isfinite(f_px.reshape(n_hypotheses, -1)), axis=-1)
+    f_px = jnp.where(f_ok[:, None, None], f_px, jnp.eye(3))
 
     # Score in PIXEL coordinates: Sampson distance mixes gradients from
     # both images, so a single normalized-frame threshold is wrong when
-    # the two point sets have different spreads. De-normalize every
-    # hypothesis (p2n^T F p1n = p2^T (t2^T F t1) p1) and threshold in px.
-    f_px = jnp.einsum("ba,nbc,cd->nad", t2, f, t1)      # (N, 3, 3)
+    # the two point sets have different spreads.
     err = jax.vmap(lambda ff: _epipolar_dist_sq(ff, p1, p2))(f_px)
     inl = (err < threshold * threshold) & mask[None, :]
     score = jnp.where(f_ok, inl.sum(-1), -1)

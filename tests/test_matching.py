@@ -123,6 +123,36 @@ class TestRansacFundamental:
         assert np.median(np.sqrt(d[n_out:])) < 1.0
 
 
+    def test_clustered_points_far_from_origin(self, rng):
+        """Per-sample Hartley normalization conditions minimal samples
+        drawn from a tight cluster far from the pixel origin (the raw
+        8-point DLT is numerically hopeless there)."""
+        n = 96
+        pts = rng.uniform(-0.15, 0.15, size=(n, 3)).astype(np.float32)
+        pts[:, 2] += 6.0
+        K = np.array(
+            [[1200.0, 0, 1800], [0, 1200.0, 1400], [0, 0, 1]], np.float32
+        )
+        th = 0.1
+        R = np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+             [-np.sin(th), 0, np.cos(th)]],
+            np.float32,
+        )
+        t = np.array([0.4, 0.02, 0.0], np.float32)
+        x1 = pts @ K.T
+        p1 = np.array(x1[:, :2] / x1[:, 2:], dtype=np.float32)
+        x2 = (pts @ R.T + t) @ K.T
+        p2 = np.array(x2[:, :2] / x2[:, 2:], dtype=np.float32)
+        # Cluster spans ~60 px around (1800, 1400): every minimal sample
+        # is "degenerate clustered" in raw pixel coordinates.
+        res = ransac_fundamental(
+            jax.random.key(1), jnp.asarray(p1), jnp.asarray(p2),
+            jnp.ones(n, bool), n_hypotheses=512, threshold=1.0,
+        )
+        assert int(res.n_inliers) >= n * 3 // 4, int(res.n_inliers)
+
+
 class TestEndToEndPair:
     def test_translated_texture_pair(self, rng):
         size = 128
