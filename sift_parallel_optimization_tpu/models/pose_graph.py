@@ -61,7 +61,16 @@ def _edge_residual(ri, ti, rj, tj, rel_r, rel_t):
 
 
 def pgo_residuals(poses: Poses, edges: PoseGraphEdges) -> jax.Array:
-    """(E, 6) weighted residuals (zero for invalid edges)."""
+    """(E, 6) weighted residuals (zero for invalid edges).
+
+    Pinned to HIGHEST matmul precision: the R_j R_i^T products otherwise
+    run bf16 on TPU and the rms gate reads pure precision noise.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _pgo_residuals_impl(poses, edges)
+
+
+def _pgo_residuals_impl(poses: Poses, edges: PoseGraphEdges) -> jax.Array:
     r = jax.vmap(_edge_residual)(
         poses.rvecs[edges.i], poses.tvecs[edges.i],
         poses.rvecs[edges.j], poses.tvecs[edges.j],
@@ -88,11 +97,14 @@ def _f32_precision(fn):
     return wrapped
 
 
-@_f32_precision
-def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
-    """Normal-equation blocks; summing over edge shards commutes, so a
-    psum over the returned pytree yields the global system."""
-    N = poses.rvecs.shape[0]
+def _edge_jacobians(poses: Poses, edges: PoseGraphEdges):
+    """Weighted, gauge-masked per-edge Jacobians and residuals.
+
+    Returns ji (E, 6, 6) = d r_e / d pose_i, jj (E, 6, 6), r (E, 6), all
+    scaled by sqrt(weight) and with node-0 blocks zeroed (gauge fixing —
+    masking Ji/Jj kills both the row AND column blocks of node 0 in
+    J^T J, matching solve_pgo's dense m0 masking).
+    """
 
     def one(ri, ti, rj, tj, rel_r, rel_t, w):
         def f(theta):
@@ -110,11 +122,17 @@ def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
         edges.rel_rvec, edges.rel_tvec, edges.weight,
     )                                        # (E,6,6) (E,6,6) (E,6)
 
-    # Gauge: node 0 fixed.
     keep_i = (edges.i != 0)[:, None, None].astype(ji.dtype)
     keep_j = (edges.j != 0)[:, None, None].astype(jj.dtype)
-    ji = ji * keep_i
-    jj = jj * keep_j
+    return ji * keep_i, jj * keep_j, r
+
+
+@_f32_precision
+def assemble_pgo_blocks(poses: Poses, edges: PoseGraphEdges):
+    """Normal-equation blocks; summing over edge shards commutes, so a
+    psum over the returned pytree yields the global system."""
+    N = poses.rvecs.shape[0]
+    ji, jj, r = _edge_jacobians(poses, edges)
 
     hii = jax.ops.segment_sum(
         jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
@@ -153,11 +171,153 @@ def solve_pgo(hdiag, cross, b, damping: float = 1e-3):
     return jnp.linalg.solve(hd_dense, b.reshape(-1)).reshape(N, 6)
 
 
-def pgo_step(
+# ---------------------------------------------------------------------------
+# Implicit CG path (the scalable solver: no dense (N, N, 6, 6) cross block)
+# ---------------------------------------------------------------------------
+
+
+class ImplicitPgo(NamedTuple):
+    """Per-GN-step linearization for the matrix-free solve: O(E) memory.
+
+    H = J^T J is only ever APPLIED through per-edge products — the same
+    treatment models/ba.py gives the Schur complement. Node assignment is
+    carried as one-hot (E, N) tensors so the matvec's edge gather/scatter
+    are dense MXU matmuls (TPU scatters are sort-based and lose — the
+    round-2 BA measurement).
+    """
+
+    ji: jax.Array         # (E, 6, 6) weighted gauge-masked d r / d pose_i
+    jj: jax.Array         # (E, 6, 6)
+    oh_i: jax.Array       # (E, N) one-hot source node
+    oh_j: jax.Array       # (E, N) one-hot target node
+    damp_vec: jax.Array   # (N, 6) Marquardt damping diagonal addition
+    minv: jax.Array       # (N, 6, 6) block-Jacobi preconditioner
+    b: jax.Array          # (N, 6) right-hand side (node 0 zeroed)
+
+
+@_f32_precision
+def assemble_pgo_implicit(
     poses: Poses, edges: PoseGraphEdges, damping: float = 1e-3
+) -> ImplicitPgo:
+    """Linearize for the matrix-free CG solve (no N x N block anywhere)."""
+    N = poses.rvecs.shape[0]
+    ji, jj, r = _edge_jacobians(poses, edges)
+    oh_i = jax.nn.one_hot(edges.i, N, dtype=jnp.float32)
+    oh_j = jax.nn.one_hot(edges.j, N, dtype=jnp.float32)
+    hii = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    )
+    hjj = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    hdiag = hii + hjj
+    b = -(
+        jax.ops.segment_sum(jnp.einsum("eab,ea->eb", ji, r), edges.i, N)
+        + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
+    )
+    b = b.at[0].set(0.0)
+    d = jnp.diagonal(hdiag, axis1=-2, axis2=-1)
+    damp_vec = damping * d + 1e-6
+    prec = hdiag + damp_vec[..., None] * jnp.eye(6)
+    prec = prec.at[0].set(jnp.eye(6))  # gauge: node-0 block is identity
+    return ImplicitPgo(
+        ji=ji, jj=jj, oh_i=oh_i, oh_j=oh_j,
+        damp_vec=damp_vec, minv=jnp.linalg.inv(prec), b=b,
+    )
+
+
+def pgo_matvec(blk: ImplicitPgo, x: jax.Array) -> jax.Array:
+    """(damped H) x through per-edge products: (N, 6) -> (N, 6)."""
+    xi = jnp.einsum("en,nk->ek", blk.oh_i, x)           # (E, 6)
+    xj = jnp.einsum("en,nk->ek", blk.oh_j, x)
+    t = (
+        jnp.einsum("eab,eb->ea", blk.ji, xi)
+        + jnp.einsum("eab,eb->ea", blk.jj, xj)
+    )                                                    # (E, 6) = J x
+    out = (
+        jnp.einsum("en,eab,ea->nb", blk.oh_i, blk.ji, t)
+        + jnp.einsum("en,eab,ea->nb", blk.oh_j, blk.jj, t)
+    )
+    out = out + blk.damp_vec * x
+    # Node-0 gauge block is the identity (its Jacobians are masked, so
+    # the edge products and x_0 columns are already zero there).
+    return out.at[0].set(x[0])
+
+
+@_f32_precision
+def solve_pgo_cg(
+    blk: ImplicitPgo, cg_iters: int = 100, cg_tol: float = 1e-8
+) -> jax.Array:
+    """Block-Jacobi preconditioned CG -> (N, 6) update (matrix-free).
+
+    Same adaptive-stop structure as models/ba.py solve_schur_cg: run to
+    ``cg_tol`` on the preconditioned residual or ``cg_iters``, whichever
+    first — late Gauss-Newton steps start near the solution and exit in
+    a handful of iterations.
+    """
+
+    def prec(v):
+        return jnp.einsum("nkl,nl->nk", blk.minv, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    b = blk.b
+    x = jnp.zeros_like(b)
+    r = b
+    z = prec(r)
+    p = z
+    rz = dot(r, z)
+    thresh = cg_tol * rz
+
+    def cond(carry):
+        i, _x, _r, _p, rz = carry
+        return (i < cg_iters) & (rz > thresh)
+
+    def body(carry):
+        i, x, r, p, rz = carry
+        ap = pgo_matvec(blk, p)
+        pap = dot(p, ap)
+        alpha = jnp.where(pap > 1e-20, rz / jnp.maximum(pap, 1e-20), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 1e-20, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    _, x, _, _, _ = lax.while_loop(cond, body, (0, x, r, p, rz))
+    return x
+
+
+# N above which "auto" prefers the matrix-free CG solver: the dense cross
+# block is N*N*36 f32 (9.4 MB at the threshold, growing quadratically)
+# and the replicated (6N, 6N) LU solve grows cubically, while the CG
+# matvec stays O(E).
+PGO_DENSE_LIMIT = 256
+
+
+def resolve_pgo_solver(n_nodes: int, solver: str = "auto") -> str:
+    if solver != "auto":
+        return solver
+    return "cg" if n_nodes > PGO_DENSE_LIMIT else "dense"
+
+
+def pgo_step(
+    poses: Poses,
+    edges: PoseGraphEdges,
+    damping: float = 1e-3,
+    solver: str = "dense",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-8,
 ) -> Poses:
-    hdiag, cross, b = assemble_pgo_blocks(poses, edges)
-    delta = solve_pgo(hdiag, cross, b, damping)
+    if solver == "cg":
+        blk = assemble_pgo_implicit(poses, edges, damping)
+        delta = solve_pgo_cg(blk, cg_iters=cg_iters, cg_tol=cg_tol)
+    else:
+        hdiag, cross, b = assemble_pgo_blocks(poses, edges)
+        delta = solve_pgo(hdiag, cross, b, damping)
     return Poses(
         rvecs=poses.rvecs + delta[:, :3],
         tvecs=poses.tvecs + delta[:, 3:],
@@ -169,10 +329,24 @@ def optimize_pose_graph(
     edges: PoseGraphEdges,
     n_iters: int = 20,
     damping: float = 1e-3,
+    solver: str = "auto",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-8,
 ) -> Poses:
-    """Damped Gauss-Newton PGO with a static trip count (jit this)."""
+    """Damped Gauss-Newton PGO with a static trip count (jit this).
+
+    ``solver``: "dense" materializes the (N, N, 6, 6) cross block and LU-
+    solves the (6N, 6N) system (bit-stable, best at small N); "cg" is the
+    matrix-free block-Jacobi-preconditioned CG (O(E) memory — a
+    1,000-node graph is far out of the dense solver's reach); "auto"
+    picks by node count (resolve_pgo_solver).
+    """
+    solver = resolve_pgo_solver(poses.rvecs.shape[0], solver)
 
     def body(_, p):
-        return pgo_step(p, edges, damping)
+        return pgo_step(
+            p, edges, damping, solver=solver,
+            cg_iters=cg_iters, cg_tol=cg_tol,
+        )
 
     return lax.fori_loop(0, n_iters, body, poses)

@@ -124,6 +124,66 @@ def test_pgo_weights_zero_edges_ignored(rng):
     )
 
 
+def test_cg_solver_matches_dense(rng):
+    """The matrix-free CG path converges to the dense solver's fixed
+    point on a loop-closure graph."""
+    n = 16
+    rv_gt, tv_gt = _circle_poses(n)
+    pairs = [(k, k + 1) for k in range(n - 1)] + [(n - 1, 0), (0, 8), (3, 12)]
+    edges = _edges_from_gt(rv_gt, tv_gt, pairs)
+    init = Poses(rvecs=rv_gt + 0.03, tvecs=tv_gt + 0.1)
+    dense = optimize_pose_graph(
+        init, edges, n_iters=25, damping=1e-4, solver="dense"
+    )
+    cg = jax.jit(
+        lambda p: optimize_pose_graph(
+            p, edges, n_iters=25, damping=1e-4, solver="cg"
+        )
+    )(init)
+    np.testing.assert_allclose(
+        np.asarray(cg.tvecs), np.asarray(dense.tvecs), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(cg.rvecs), np.asarray(dense.rvecs), atol=1e-3
+    )
+    assert float(pgo_rms(cg, edges)) < 1e-3
+
+
+def test_thousand_node_graph_converges(rng):
+    """A 1,000-node chain + loop closures (the product of long-sequence
+    odometry) — far out of the dense (N, N, 6, 6) solver's reach; the CG
+    path must converge. 'auto' resolves to cg above PGO_DENSE_LIMIT."""
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        resolve_pgo_solver,
+    )
+
+    n = 1000
+    assert resolve_pgo_solver(n, "auto") == "cg"
+    assert resolve_pgo_solver(50, "auto") == "dense"
+    rv_gt, tv_gt = _circle_poses(n, radius=20.0)
+    pairs = [(k, k + 1) for k in range(n - 1)] + [
+        (n - 1, 0), (0, n // 2), (n // 4, 3 * n // 4),
+        (100, 900), (250, 650),
+    ]
+    edges = _edges_from_gt(rv_gt, tv_gt, pairs)
+    r2 = np.random.default_rng(1)
+    init = Poses(
+        rvecs=rv_gt
+        + jnp.asarray(0.01 * r2.normal(size=(n, 3)).astype(np.float32)),
+        tvecs=tv_gt
+        + jnp.asarray(0.05 * r2.normal(size=(n, 3)).astype(np.float32)),
+    )
+    e0 = float(pgo_rms(init, edges))
+    out = jax.jit(
+        lambda p: optimize_pose_graph(
+            p, edges, n_iters=10, damping=1e-4, solver="cg", cg_iters=200
+        )
+    )(init)
+    e1 = float(pgo_rms(out, edges))
+    assert e0 > 0.01
+    assert e1 < 0.05 * e0, f"large PGO did not converge: {e0} -> {e1}"
+
+
 def test_distributed_pgo_matches_single(rng):
     from sift_parallel_optimization_tpu.parallel.mesh import make_mesh
     from sift_parallel_optimization_tpu.parallel.pose_graph import (
