@@ -57,6 +57,105 @@ class Trajectory(NamedTuple):
     tvecs: jax.Array  # (n, 3)
 
 
+class LandmarkArchive(NamedTuple):
+    """Fixed-capacity ring of EVICTED landmarks for loop closure.
+
+    When a frame leaves the window its landmark block is frozen — world
+    positions, appearance descriptors, birth frame — into this ring
+    (capacity A, write head wraps). The archive is the window pipeline's
+    long-term place memory: the current frame's descriptors are matched
+    against it (one masked MXU matmul, the same machinery as
+    models/loop_closure.py) and a PnP against the archived world points
+    yields an ABSOLUTE pose constraint — metric scale comes from the
+    archived map for free.
+    """
+
+    positions: jax.Array  # (A, 3) world coordinates, frozen at eviction
+    desc: jax.Array       # (A, 128)
+    birth: jax.Array      # (A,) i32 global frame id of the birth keyframe
+    valid: jax.Array      # (A,)
+
+
+def empty_archive(capacity: int) -> LandmarkArchive:
+    return LandmarkArchive(
+        positions=jnp.zeros((capacity, 3), jnp.float32),
+        desc=jnp.zeros((capacity, 128), jnp.float32),
+        birth=jnp.zeros(capacity, jnp.int32),
+        valid=jnp.zeros(capacity, bool),
+    )
+
+
+def archive_evicted_block(
+    arch: LandmarkArchive,
+    m: SfmMap,
+    write_slot,
+    birth_frame,
+    pts_per_frame: int,
+) -> LandmarkArchive:
+    """Freeze window slot 0's landmark block into the ring before a shift.
+
+    ``write_slot`` counts evictions (traced); the block lands at ring
+    offset (write_slot * B) mod A. One compiled executable serves every
+    eviction (dynamic_update_slice with a traced offset).
+    """
+    from jax import lax
+
+    B = pts_per_frame
+    A = arch.valid.shape[0]
+    start = (jnp.asarray(write_slot, jnp.int32) * B) % A
+
+    def upd(arr, vals):
+        return lax.dynamic_update_slice_in_dim(
+            arr, vals.astype(arr.dtype), start, axis=0
+        )
+
+    return LandmarkArchive(
+        positions=upd(arch.positions, m.points[:B]),
+        desc=upd(arch.desc, m.pt_desc[:B]),
+        birth=upd(
+            arch.birth,
+            jnp.full(B, jnp.asarray(birth_frame, jnp.int32)),
+        ),
+        valid=upd(arch.valid, m.pt_valid[:B]),
+    )
+
+
+class ArchiveLoop(NamedTuple):
+    rvec: jax.Array       # (3,) absolute world->cam PnP pose
+    tvec: jax.Array       # (3,)
+    n_inliers: jax.Array  # () i32 — host gates acceptance
+
+
+def propose_archive_loop(
+    key,
+    feats: Features,
+    arch: LandmarkArchive,
+    frame_i,
+    K: jax.Array,
+    min_gap: int = 8,
+    threshold: float = 3.0,
+) -> ArchiveLoop:
+    """PnP the current frame against archived landmarks born >= min_gap
+    frames ago. Jittable with a traced ``frame_i``; acceptance is the
+    caller's host-side decision (same split as models/loop_closure.py)."""
+    from sift_parallel_optimization_tpu.models.matching import (
+        match_descriptors,
+    )
+    from sift_parallel_optimization_tpu.models.sfm import ransac_pnp
+
+    old = arch.valid & (
+        arch.birth <= jnp.asarray(frame_i, jnp.int32) - min_gap
+    )
+    match = match_descriptors(
+        feats.descriptors, arch.desc, feats.keypoints.valid, old
+    )
+    uv = jnp.stack([feats.keypoints.x, feats.keypoints.y], -1)
+    pts3d = arch.positions[match.idx2]
+    mask = match.valid & old[match.idx2]
+    cam, _inl, n = ransac_pnp(key, pts3d, uv, mask, K, threshold=threshold)
+    return ArchiveLoop(rvec=cam.rvec, tvec=cam.tvec, n_inliers=n)
+
+
 def shift_window(m: SfmMap, pts_per_frame: int) -> SfmMap:
     """Evict frame slot 0: shift every per-frame block down one slot.
 
@@ -104,6 +203,13 @@ def run_odometry(
     damping: float = 1e-4,
     huber_delta: float | None = 2.0,
     solver: str = "auto",
+    loop_closure: bool = False,
+    loop_min_gap: int | None = None,
+    loop_min_inliers: int = 25,
+    loop_weight: float = 4.0,
+    loop_cooldown: int = 3,
+    max_loops: int = 8,
+    archive_size: int | None = None,
 ) -> tuple[Trajectory, SfmMap]:
     """Constant-memory odometry over a frame sequence of ANY length.
 
@@ -115,6 +221,24 @@ def run_odometry(
     ``solver`` picks the window-BA Schur solver ("auto" resolves from the
     window capacities — small windows keep the dense solve, wide windows
     take the implicit-Schur CG path; models/ba.py resolve_solver).
+
+    ``loop_closure`` composes the window pipeline with revisit
+    correction: evicted landmark blocks are frozen into a fixed-capacity
+    :class:`LandmarkArchive` ring, every frame is PnP-matched against it
+    (:func:`propose_archive_loop`), and accepted constraints feed ONE
+    pose-graph optimization over the full trajectory at the end —
+    odometry-chain edges from the estimates, absolute loop edges at node
+    0 (the archived map lives in camera-0's frame). The PGO's matrix-free
+    CG solver (models/pose_graph.py) keeps this O(n) even for
+    thousand-frame sequences, preserving the O(window) memory story
+    (the archive ring is the only per-sequence state, and its capacity
+    is fixed).
+
+    ``loop_min_gap`` defaults to ``window + 1`` (an archived landmark is
+    at least ``window`` frames old by construction; +1 rejects border
+    cases). ``loop_cooldown`` skips proposals for that many frames after
+    an acceptance, so one revisit yields one constraint, not a burst.
+    ``archive_size`` (landmark slots) defaults to 64 eviction blocks.
     """
     n = len(features)
     W = window
@@ -149,12 +273,38 @@ def run_odometry(
     frozen_r: list[jax.Array] = []   # evicted poses, world frame, final
     frozen_t: list[jax.Array] = []
 
+    arch = None
+    loop_frames: list[int] = []
+    loop_poses: list = []
+    last_loop = -(10**9)
+    if loop_closure:
+        if loop_min_gap is None:
+            loop_min_gap = W + 1
+        if archive_size is None:
+            archive_size = 64 * pts_per_frame
+        arch = empty_archive(archive_size)
+        arch_fn = jax.jit(
+            functools.partial(
+                archive_evicted_block, pts_per_frame=pts_per_frame
+            )
+        )
+        loop_fn = jax.jit(
+            functools.partial(propose_archive_loop, min_gap=loop_min_gap)
+        )
+        loop_keys = jax.random.split(jax.random.fold_in(key, 11), n)
+
     m, used = init_fn(keys[0], features[0], features[1], K, m)
     for i in range(2, n):
         if i >= W:
             # Slot 0 (frame i - W) leaves the window; its pose is final.
             frozen_r.append(m.rvecs[0])
             frozen_t.append(m.tvecs[0])
+            if loop_closure:
+                arch = arch_fn(
+                    arch, m,
+                    jnp.asarray(i - W, jnp.int32),
+                    jnp.asarray(i - W, jnp.int32),
+                )
             m = shift_fn(m)
         slot = min(i, W - 1)
         m, used = reg_fn(
@@ -164,8 +314,68 @@ def run_odometry(
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_fn(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
+        if (
+            loop_closure
+            and i > W  # archive non-empty (first eviction at i == W)
+            and i - last_loop > loop_cooldown
+            and len(loop_frames) < max_loops
+        ):
+            prop = loop_fn(
+                loop_keys[i], features[i], arch,
+                jnp.asarray(i, jnp.int32), K,
+            )
+            if int(prop.n_inliers) >= loop_min_inliers:
+                loop_frames.append(i)
+                loop_poses.append(prop)
+                last_loop = i
 
     in_window = min(n, W)
     rvecs = jnp.stack(frozen_r + [m.rvecs[s] for s in range(in_window)])
     tvecs = jnp.stack(frozen_t + [m.tvecs[s] for s in range(in_window)])
-    return Trajectory(rvecs=rvecs, tvecs=tvecs), m
+    traj = Trajectory(rvecs=rvecs, tvecs=tvecs)
+    if loop_closure and loop_frames:
+        traj = correct_trajectory(
+            traj, loop_frames, loop_poses, loop_weight=loop_weight
+        )
+    return traj, m
+
+
+def correct_trajectory(
+    traj: Trajectory,
+    loop_frames: Sequence[int],
+    loop_poses: Sequence[ArchiveLoop],
+    loop_weight: float = 4.0,
+    pgo_iters: int = 15,
+    damping: float = 1e-4,
+) -> Trajectory:
+    """Pose-graph-correct a frozen trajectory with absolute loop edges.
+
+    Edges: the odometry chain (consecutive relative poses from the
+    estimates — exactly consistent, carrying the accumulated drift) plus
+    one edge (0 -> f) per accepted loop whose measurement is the PnP
+    pose composed with node 0 (the archive lives in camera-0's frame).
+    The PGO redistributes the loop error along the chain (models/
+    pose_graph.py; the CG solver keeps this O(n) at any length).
+    """
+    from sift_parallel_optimization_tpu.models.loop_closure import (
+        build_pose_graph_edges,
+    )
+    from sift_parallel_optimization_tpu.models.geometry import Camera
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        Poses,
+        optimize_pose_graph,
+    )
+
+    n = traj.rvecs.shape[0]
+    edges = build_pose_graph_edges(
+        traj, n, list(loop_frames),
+        [Camera(rvec=p.rvec, tvec=p.tvec) for p in loop_poses],
+        loop_weight=loop_weight,
+    )
+    poses = Poses(rvecs=traj.rvecs, tvecs=traj.tvecs)
+    out = jax.jit(
+        lambda p, e: optimize_pose_graph(
+            p, e, n_iters=pgo_iters, damping=damping
+        )
+    )(poses, edges)
+    return Trajectory(rvecs=out.rvecs, tvecs=out.tvecs)

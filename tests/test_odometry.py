@@ -12,6 +12,8 @@ import pytest
 
 from sift_parallel_optimization_tpu.models.ba import Observations
 from sift_parallel_optimization_tpu.models.odometry import (
+    archive_evicted_block,
+    empty_archive,
     run_odometry,
     shift_window,
 )
@@ -86,6 +88,32 @@ def test_shift_is_idempotent_on_empty():
     s = shift_window(m, 3)
     assert not bool(s.cam_valid.any())
     assert not bool(s.obs.valid.any())
+
+
+def test_archive_ring_writes_and_wraps():
+    """Evicted blocks land at (write_slot * B) mod A and overwrite on wrap."""
+    W, B, A = 3, 2, 3 * 2  # ring holds exactly 3 eviction blocks
+    arch = empty_archive(A)
+    assert not bool(arch.valid.any())
+    m = _toy_map(W, B)
+
+    # Four evictions into a 3-block ring: slot 3 wraps onto slot 0.
+    for slot in range(4):
+        arch = archive_evicted_block(
+            arch, m, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(10 + slot, jnp.int32), B,
+        )
+        lo = (slot * B) % A
+        np.testing.assert_allclose(
+            np.asarray(arch.positions[lo : lo + B]), np.asarray(m.points[:B])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(arch.birth[lo : lo + B]), 10 + slot
+        )
+    assert bool(arch.valid.all())
+    # The wrap overwrote block 0's birth frame (10 -> 13).
+    np.testing.assert_array_equal(np.asarray(arch.birth[:B]), 13)
+    np.testing.assert_array_equal(np.asarray(arch.birth[B : 2 * B]), 11)
 
 
 class TestRenderedOdometry:
@@ -168,3 +196,78 @@ class TestRenderedOdometry:
         ate = float(ate_rmse(est, gt))
         span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
         assert ate < 0.05 * span, f"ATE {ate} over span {span}"
+
+
+class TestWindowedLoopClosure:
+    """Out-and-back revisit: the windowed pipeline composed with the
+    landmark-archive loop closure must beat windowed-only ATE and meet
+    the GLOBAL 5%-of-span gate, not just the windowed 10% one."""
+
+    size, n_frames, window = 256, 18, 6
+
+    @pytest.fixture(scope="class")
+    def sequence(self):
+        from sift_parallel_optimization_tpu.models.frontend import (
+            extract_features,
+            sift_config,
+        )
+        from sift_parallel_optimization_tpu.utils import native
+
+        if not native.available():
+            pytest.skip("native renderer unavailable")
+        size, n = self.size, self.n_frames
+        focal = float(size)
+        cfg = sift_config(size)
+        K = jnp.array(
+            [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+            jnp.float32,
+        )
+        # Out to an apex at frame n//2, back to the start: frames near the
+        # end revisit places whose landmarks the window evicted long ago.
+        ks = [i if i <= n // 2 else n - 1 - i for i in range(n)]
+        gt_rvecs = np.stack(
+            [[0.0, 0.025 * k, 0.002 * k] for k in ks]
+        ).astype(np.float32)
+        gt_tvecs = np.stack(
+            [[-0.25 * k, 0.012 * k, 0.035 * k] for k in ks]
+        ).astype(np.float32)
+        fe = jax.jit(
+            lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+        )
+        feats = [
+            fe(jnp.asarray(native.render_frame(
+                size, gt_rvecs[i], gt_tvecs[i], focal, seed=3)))
+            for i in range(n)
+        ]
+        return feats, K, gt_rvecs, gt_tvecs
+
+    @pytest.mark.slow
+    def test_loop_closure_beats_windowed_only(self, sequence):
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            ate_rmse,
+            camera_centers,
+        )
+
+        feats, K, gt_rvecs, gt_tvecs = sequence
+        gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+        span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+
+        ates = {}
+        for lc in (False, True):
+            traj, m = run_odometry(
+                jax.random.key(1), feats, K, window=self.window,
+                loop_closure=lc,
+            )
+            # Constant memory holds with or without the archive.
+            assert m.rvecs.shape[0] == self.window
+            est = camera_centers(traj.rvecs, traj.tvecs)
+            ates[lc] = float(ate_rmse(est, gt))
+
+        # Measured on this sequence: 2.3% of span windowed-only, 1.0% with
+        # loop closure (2.25x). Gate at >=1.8x and the global 5% bar.
+        assert ates[True] < 0.05 * span, (
+            f"loop-closed ATE {ates[True]} over span {span}"
+        )
+        assert ates[True] * 1.8 < ates[False], (
+            f"loop closure {ates[True]} vs windowed-only {ates[False]}"
+        )
