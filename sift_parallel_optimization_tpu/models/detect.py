@@ -356,43 +356,69 @@ def detect_octave_groups_batched(
 
     n_total = base
 
-    # Static-shape extraction: flat 1-D top-k PER FRAME PER GROUP (both
-    # loops unrolled — B and the grouping are static), then an exact merge
-    # of the finalists. Per-group top-k beats one global top-k over the
-    # concatenated score (round-2 measurement, 512^2: the concat forces a
-    # second copy of the whole dense volume, while each group's
-    # tiled->linear relayout fuses with its own score producer). The merge
-    # selects the identical set: any global winner is inside its group's
-    # top-k, and ties resolve by flat index in both forms (group-major
-    # concat order == flat score order). On TPU, approx_max_k (tiled
-    # two-stage reduction) is ~200x faster than the exact sort-based top_k
-    # at these sizes — but ONLY in its 1-D form (see docstring); exact
-    # top_k elsewhere keeps CPU tests deterministic. recall_target=0.99
-    # bounds the TPU-vs-CPU top-k divergence to ~1% of true candidates
-    # (guarded on hardware by tools/tpu_sanity.py's direct recall check).
+    # Static-shape extraction, two selection modes per frame (both loops
+    # unrolled — B and the grouping are static):
+    #
+    # * approx (TPU default): per-group BLOCK-REDUCE — reshape the flat
+    #   score to (V_g / BLK, BLK) rows, keep each row's max + argmax. The
+    #   reductions FUSE into the score producer (no dense score volume
+    #   ever reaches HBM), and one small exact top-k over the concatenated
+    #   (sum V_g / BLK,) tables replaces the per-group approx_max_k calls.
+    #   Round-3 measurement (v5e, 512^2, K=512): pyramid+score+extraction
+    #   0.407 ms with per-group approx_max_k -> 0.237 ms with BLK=64
+    #   block-reduce + exact table top-k — the approx_max_k calls cost
+    #   0.139 ms reading materialized score volumes, the fused block
+    #   tables ~0.022 ms. Like approx_max_k, per-block top-1 is a recall
+    #   tradeoff: two global-top-k candidates in one 64-voxel block lose
+    #   one. Strict 26-neighbor extrema are >= 2 voxels apart, so a block
+    #   holds at most 32 candidates but typically 0-1 (~100 candidates
+    #   spread over ~19k blocks at 512^2); recall is gated at >= 0.95 by
+    #   the suite (tests/test_sift_frontend.py) and >= 0.99 on hardware
+    #   (tools/tpu_sanity.py).
+    # * exact (CPU default): flat top-k per group + exact merge — any
+    #   global winner is inside its group's top-k, and ties resolve by
+    #   flat index in both forms (group-major concat order == flat score
+    #   order), so this selects exactly the union of per-octave sets and
+    #   keeps CPU tests deterministic.
+    #
     # ``use_approx_topk`` overrides the backend default so the CPU suite
-    # can exercise the TPU branch (approx_max_k runs on CPU too, it just
-    # only WINS on TPU) — closing the backend-divergence test gap.
+    # can exercise the TPU branch (the block-reduce runs anywhere) —
+    # closing the backend-divergence test gap.
     k = min(capacity, n_total)
     if use_approx_topk is None:
         use_approx_topk = jax.default_backend() in ("tpu", "axon")
+    blk = 64
     vals_l, idx_l = [], []
     for bi in range(b):
         parts_v, parts_i = [], []
         for sc, g_base in zip(seg_score, seg_base):      # sc: (B, V_g)
             row = sc[bi] if b > 1 else sc.reshape(-1)
-            kg = min(k, row.shape[0])
-            if use_approx_topk and row.shape[0] >= 4096:
-                v_g, i_g = lax.approx_max_k(row, kg, recall_target=0.99)
+            vg = row.shape[0]
+            if use_approx_topk and vg >= 4096:
+                pad = (-vg) % blk
+                rows = (jnp.pad(row, (0, pad)) if pad else row)
+                rows = rows.reshape(-1, blk)
+                tv = rows.max(axis=1)
+                ta = rows.argmax(axis=1).astype(jnp.int32)
+                ti = (jnp.arange(rows.shape[0], dtype=jnp.int32) * blk + ta)
+                # Padded entries carry score 0 (never valid), but clamp
+                # their index inside the group so downstream octave/coord
+                # math cannot read out of range.
+                parts_v.append(tv)
+                parts_i.append(g_base + jnp.minimum(ti, vg - 1))
             else:
+                kg = min(k, vg)
                 v_g, i_g = lax.top_k(row, kg)
-            parts_v.append(v_g)
-            parts_i.append(i_g + g_base)
-        if len(parts_v) == 1:
+                parts_v.append(v_g)
+                parts_i.append(i_g + g_base)
+        if len(parts_v) == 1 and parts_v[0].shape[0] == k:
             v_b, i_b = parts_v[0], parts_i[0]
         else:
-            cv = jnp.concatenate(parts_v)                # (sum kg,) >= k
-            ci = jnp.concatenate(parts_i)
+            cv = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
+            ci = jnp.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
+            if cv.shape[0] < k:  # tiny pyramid under block reduction
+                cv = jnp.pad(cv, (0, k - cv.shape[0]))
+                ci = jnp.pad(ci, (0, k - ci.shape[0]))
             v_b, sel = lax.top_k(cv, k)
             i_b = ci[sel]
         vals_l.append(v_b)
@@ -572,24 +598,33 @@ def detect_pyramid(
     dogs: list[jax.Array],
     cfg: PyramidConfig,
     max_keypoints: int = 512,
-    tail_batch_side: int = 256,
+    tail_batch_side: int | None = None,
     **thresholds,
 ) -> Keypoints:
     """Full-pyramid detection -> ``max_keypoints`` slots across all octaves.
 
-    One fused :func:`detect_octave_groups` call: octaves whose longest
-    side exceeds ``tail_batch_side`` each form their own (native-size)
-    group; the small tail shares one zero-padded canvas group. A single
-    global top-k then replaces both the per-octave extraction and the
-    final cross-octave selection.
+    One fused :func:`detect_octave_groups` call with every octave at its
+    NATIVE size (one group per octave); a single global top-k replaces
+    both the per-octave extraction and the final cross-octave selection.
+
+    ``tail_batch_side``: octaves whose longest side is <= this share one
+    zero-padded canvas group (the round-2 design, kept as a study knob).
+    It amortized per-group top-k/gather launches when extraction was a
+    per-group approx_max_k over materialized score volumes; with the
+    round-3 block-reduce extraction the per-group cost is a fused
+    reduction, and the padded canvas only ADDS stencil work + flat-copy
+    bytes (measured at 512^2: padded-canvas score 0.268 ms vs native
+    0.215 ms; padded flat DoG copy 13 MB vs 6.9 MB native).
     """
     big = [
         (o, d) for o, d in enumerate(dogs)
-        if max(d.shape[1], d.shape[2]) > tail_batch_side
+        if tail_batch_side is None
+        or max(d.shape[1], d.shape[2]) > tail_batch_side
     ]
     tail = [
         (o, d) for o, d in enumerate(dogs)
-        if max(d.shape[1], d.shape[2]) <= tail_batch_side
+        if tail_batch_side is not None
+        and max(d.shape[1], d.shape[2]) <= tail_batch_side
     ]
     groups = [[p] for p in big] + ([tail] if tail else [])
     return detect_octave_groups(groups, cfg, max_keypoints, **thresholds)
@@ -599,24 +634,28 @@ def detect_pyramid_batched(
     dogs: list[jax.Array],
     cfg: PyramidConfig,
     max_keypoints: int = 512,
-    tail_batch_side: int = 256,
+    tail_batch_side: int | None = None,
     **thresholds,
 ) -> Keypoints:
     """Frame-batched full-pyramid detection.
 
     ``dogs`` holds one (B, S+2, H_o, W_o) array per octave; returns
     Keypoints with a leading (B,) axis and ``max_keypoints`` slots per
-    frame. Same grouping policy as :func:`detect_pyramid`; the sparse
-    stage (top-k, gathers) is batch-aware instead of vmapped — see
-    :func:`detect_octave_groups_batched` for why vmap loses here.
+    frame. Same grouping policy as :func:`detect_pyramid` (native
+    per-octave groups; ``tail_batch_side`` re-enables the padded tail
+    canvas); the sparse stage (top-k, gathers) is batch-aware instead of
+    vmapped — see :func:`detect_octave_groups_batched` for why vmap
+    loses here.
     """
     big = [
         (o, d) for o, d in enumerate(dogs)
-        if max(d.shape[2], d.shape[3]) > tail_batch_side
+        if tail_batch_side is None
+        or max(d.shape[2], d.shape[3]) > tail_batch_side
     ]
     tail = [
         (o, d) for o, d in enumerate(dogs)
-        if max(d.shape[2], d.shape[3]) <= tail_batch_side
+        if tail_batch_side is not None
+        and max(d.shape[2], d.shape[3]) <= tail_batch_side
     ]
     groups = [[p] for p in big] + ([tail] if tail else [])
     return detect_octave_groups_batched(
