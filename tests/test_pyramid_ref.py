@@ -153,3 +153,49 @@ def test_blur_precision_knob(rng):
     )
     with pytest.raises(ValueError):
         _ = bad.blur_lax_precision
+
+
+def test_banded_blur_matches_dense(rng):
+    # blur_bank dispatches to the blocked-band form at >= 512^2; the band
+    # blocks hold exactly the dense matrices' nonzeros, so results must
+    # match the dense einsums up to f32 summation order.
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        _BANDED_MIN_SIZE,
+        _octave_scale_sigmas,
+        blur_bank,
+        blur_bank_banded,
+    )
+
+    size = _BANDED_MIN_SIZE
+    cfg = PyramidConfig(length=size, S=3, mode=ScaleSpaceMode.SIFT)
+    img = jnp.asarray(rng.random((size, size)).astype(np.float32))
+    sigmas = _octave_scale_sigmas(cfg)
+    banded = blur_bank_banded(img, sigmas)
+    # Dense reference: bypass the dispatch by using a non-multiple-of-64
+    # width slice is not comparable; instead build the dense einsum inline.
+    from sift_parallel_optimization_tpu.core.pyramid_ref import blur_matrix
+
+    bank = jnp.stack([blur_matrix(size, s) for s in sigmas])
+    tmp = jnp.einsum("hw,swv->shv", img, bank,
+                     preferred_element_type=jnp.float32)
+    dense = jnp.einsum("shu,shv->suv", bank, tmp,
+                       preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(banded), np.asarray(dense), atol=2e-6
+    )
+    # And the dispatcher itself takes the banded path (same values).
+    np.testing.assert_array_equal(
+        np.asarray(blur_bank(img, sigmas)), np.asarray(banded)
+    )
+
+
+def test_banded_blur_jits(rng):
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        sift_gaussian_pyramid as spy,
+    )
+
+    cfg = PyramidConfig(length=512, S=3, mode=ScaleSpaceMode.SIFT)
+    img = jnp.asarray(rng.random((512, 512)).astype(np.float32))
+    out = jax.jit(lambda x: spy(x, cfg)[0])(img)
+    assert out.shape == (cfg.n_scales, 512, 512)
+    assert bool(jnp.isfinite(out).all())
