@@ -8,16 +8,16 @@ scattered gathers:
   (scales and octaves stacked vertically, spatially padded so every patch
   window is in bounds and every patch origin can be aligned to the
   (8, 128) tile grid).
-* ONE Pallas DMA-gather (ops/patch_gather.py) pulls a (112, 256) patch
-  per keypoint straight from the keypoint's own (octave, scale) plane —
-  ~30x faster than the XLA gather a vmapped dynamic_slice lowers to —
-  and two batched hat-weight einsums resample all patches at once on the
-  MXU. A fully fused gather+resample kernel (ops/descriptor_fused.py,
-  patches never reach HBM) was built and measured SLOWER on chip
-  (0.29 vs 0.11 ms at K=512): 512 sequential grid steps of tiny
-  (18..26, 112) matmuls cannot beat one big batched einsum, and the
-  2-deep DMA pipeline hides the HBM round trip anyway. It stays
-  available via USE_FUSED_SAMPLING for the kernel study.
+* ONE Pallas DMA-gather (ops/patch_gather.py) pulls a bf16
+  (PATCH_ROWS, 256) patch per keypoint straight from the keypoint's own
+  (octave, scale) plane — ~30x faster than the XLA gather a vmapped
+  dynamic_slice lowers to — and two batched hat-weight einsums resample
+  all patches at once on the MXU. A fully fused gather+resample kernel
+  (ops/descriptor_fused.py, patches never reach HBM) was built and
+  measured SLOWER on chip (0.29 vs 0.11 ms at K=512): 512 sequential
+  grid steps of tiny (18..26, PR) matmuls cannot beat one big batched
+  einsum, and the 2-deep DMA pipeline hides the HBM round trip anyway.
+  It stays available via USE_FUSED_SAMPLING for the kernel study.
 * The sigma-proportional sample grid is AXIS-ALIGNED (rotation is applied
   to bin coordinates and gradient angles, not the sampling lattice), so
   resampling is two small batched matmuls against bilinear hat-weight
@@ -68,11 +68,26 @@ DESC_CLIP = 0.2
 # shrinks — 3.7 px at S=3 but 4.85 px at S=1 — giving a max radius of
 # 3*sigma_o*sqrt(2)*2.5 ~ 51.5 px. The margins below guarantee coverage
 # for S >= 1 (and _keypoint_patches clamps the radius to MAX_RADIUS as a
-# final guard). Rows align to 8 sublanes, cols to 128 lanes.
+# final guard). Rows align to 16 sublanes (ROW_ALIGN — the bf16 tile
+# height; also a multiple of f32's 8), cols to 128 lanes.
+#
+# ATLAS_DTYPE is a MEASURED speed/accuracy knob (v5e, 512^2, K=512,
+# round 3). bfloat16 halves the atlas-build and patch-DMA bytes (the
+# stage's dominant HBM traffic, ~58 MB of f32 patches) for -0.018
+# ms/frame — and since the resample einsums run at DEFAULT (bf16-pass)
+# matmul precision the samples only move by ~1 bf16 ulp. But that ulp
+# re-rolls every near-tied orientation-histogram peak, and the measured
+# DOWNSTREAM cost is real: the archive-PnP loop-closure ATE degraded
+# 0.024 -> 0.029 (its windowed-improvement ratio 2.25x -> 1.55x) on the
+# revisit gates. A 3.5% frontend win is not worth a product accuracy
+# loss, so f32 stays the default; the plumbing (dtype-aware DMA sublane
+# alignment, 16-row tiles) keeps the knob one constant away.
+ATLAS_DTYPE = jnp.float32
+ROW_ALIGN = 16             # sublane tile height (bf16 tile; also 2x f32's 8)
 MAX_RADIUS = 52            # guaranteed in-patch sample radius (+1 bilinear)
-ROW_PAD = 56               # top pad per octave (mult of 8, >= MAX_RADIUS+4)
+ROW_PAD = 64               # top pad per octave (mult of 16, >= MAX_RADIUS+4)
 COL_PAD = 128              # left pad per octave (one lane tile)
-PATCH_ROWS = 112           # >= 2*MAX_RADIUS + 8 alignment slack, mult of 8
+PATCH_ROWS = 128           # >= 2*MAX_RADIUS + 16 alignment slack, mult of 16
 PATCH_COLS = 256           # >= 2*MAX_RADIUS + 128 alignment slack
 
 
@@ -90,14 +105,14 @@ def build_atlas(gauss_octaves: list[jax.Array]):
     heights = [g.shape[1] for g in gauss_octaves]
     widths = [g.shape[2] for g in gauss_octaves]
     wlim = [_roundup(w, 128) for w in widths]      # max aligned x0
-    hprime = [2 * ROW_PAD + _roundup(h, 8) for h in heights]
+    hprime = [2 * ROW_PAD + _roundup(h, ROW_ALIGN) for h in heights]
     C = max(COL_PAD + wl + 128 for wl in wlim)
     blocks, row_off = [], []
     r = 0
     for g, hp, w in zip(gauss_octaves, hprime, widths):
         s, h, _ = g.shape
         block = jnp.pad(
-            g,
+            g.astype(ATLAS_DTYPE),
             (
                 (0, 0),
                 (ROW_PAD, hp - ROW_PAD - h),
@@ -134,7 +149,9 @@ def _keypoint_patches(gauss_octaves: list[jax.Array], kp: Keypoints):
     wl = meta["wlim"][o]
     ro = meta["row_off"][o]
     y0l = jnp.clip(
-        (jnp.floor((ya - MAX_RADIUS) / 8.0) * 8).astype(jnp.int32),
+        (jnp.floor((ya - MAX_RADIUS) / ROW_ALIGN) * ROW_ALIGN).astype(
+            jnp.int32
+        ),
         0,
         hp - PATCH_ROWS,
     )
@@ -166,11 +183,15 @@ def _resample(patches, py, px, offsets) -> jax.Array:
     """
     cy = py[:, None] + offsets                       # (K, G) rows
     cx = px[:, None] + offsets                       # (K, G) cols
-    ay = _hat_weights(cy, PATCH_ROWS)                # (K, G, PR)
-    ax = _hat_weights(cx, PATCH_COLS)                # (K, G, PC)
+    # Hat weights in the patches' dtype: at DEFAULT matmul precision the
+    # MXU rounds f32 operands to bf16 anyway, so casting here changes
+    # nothing the matmul computes — it only avoids a mixed-dtype upcast
+    # of the (much larger) patch operand.
+    ay = _hat_weights(cy, PATCH_ROWS).astype(patches.dtype)  # (K, G, PR)
+    ax = _hat_weights(cx, PATCH_COLS).astype(patches.dtype)  # (K, G, PC)
     t = jnp.einsum("kgp,kpq->kgq", ay, patches,
                    preferred_element_type=jnp.float32)
-    return jnp.einsum("kgq,khq->kgh", t, ax,
+    return jnp.einsum("kgq,khq->kgh", t, ax.astype(t.dtype),
                       preferred_element_type=jnp.float32)
 
 
@@ -225,7 +246,9 @@ def _sample_grids(gauss_octaves: list[jax.Array], kp: Keypoints):
         wl = meta["wlim"][o]
         ro = meta["row_off"][o]
         y0l = jnp.clip(
-            (jnp.floor((ya - MAX_RADIUS) / 8.0) * 8).astype(jnp.int32),
+            (jnp.floor((ya - MAX_RADIUS) / ROW_ALIGN) * ROW_ALIGN).astype(
+                jnp.int32
+            ),
             0, hp - PATCH_ROWS,
         )
         x0 = jnp.clip(

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Must match models/descriptor.py atlas geometry.
-PATCH_ROWS = 112
+PATCH_ROWS = 128
 PATCH_COLS = 256
 ORI_GRID = 18
 DESC_GRID = 26
@@ -106,7 +106,7 @@ def _kernel(grow_ref, x0_ref, params_ref, atlas_ref, out_o_ref, out_d_ref,
     n = pl.num_programs(0)
 
     def copy(j, slot):
-        y0 = pl.multiple_of(grow_ref[j], 8)
+        y0 = pl.multiple_of(grow_ref[j], 16)
         x0 = pl.multiple_of(x0_ref[j], 128)
         return pltpu.make_async_copy(
             atlas_ref.at[pl.ds(y0, PATCH_ROWS), pl.ds(x0, PATCH_COLS)],

@@ -29,13 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 _DEPTH = 8
 
 
-def _kernel2d(ys_ref, xs_ref, atlas_ref, out_ref, sems):
+def _kernel2d(ys_ref, xs_ref, atlas_ref, out_ref, sems, *, sub: int):
     k = pl.program_id(0)
     n = pl.num_programs(0)
     ph, pw = out_ref.shape[-2], out_ref.shape[-1]
 
     def mk(j):
-        y0 = pl.multiple_of(ys_ref[j], 8)
+        y0 = pl.multiple_of(ys_ref[j], sub)
         x0 = pl.multiple_of(xs_ref[j], 128)
         return pltpu.make_async_copy(
             atlas_ref.at[pl.ds(y0, ph), pl.ds(x0, pw)],
@@ -72,10 +72,12 @@ def extract_atlas_patches_pallas(
 ) -> jax.Array:
     """(R, C) atlas + (K,) aligned offsets -> (K, rows, cols) patches.
 
-    ``ys`` must be multiples of 8, ``xs`` multiples of 128, with
+    ``ys`` must be multiples of the dtype's sublane tile height (8 for
+    4-byte dtypes, 16 for bf16), ``xs`` multiples of 128, with
     ys <= R - rows and xs <= C - cols (callers align + clamp).
     """
     k = ys.shape[0]
+    sub = 16 if jnp.dtype(atlas.dtype).itemsize < 4 else 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(k,),
@@ -84,7 +86,7 @@ def extract_atlas_patches_pallas(
         scratch_shapes=[pltpu.SemaphoreType.DMA((_DEPTH,))],
     )
     return pl.pallas_call(
-        _kernel2d,
+        functools.partial(_kernel2d, sub=sub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, rows, cols), atlas.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -110,7 +112,8 @@ def extract_atlas_patches_batched_pallas(
     plane height are sublane multiples).
     """
     b, r, c = atlas.shape
-    if r % 8:
+    sub = 16 if jnp.dtype(atlas.dtype).itemsize < 4 else 8
+    if r % sub:
         raise ValueError(f"atlas rows ({r}) must be a sublane multiple")
     k = ys.shape[1]
     row_base = (jnp.arange(b, dtype=jnp.int32) * r)[:, None]

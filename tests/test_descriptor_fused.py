@@ -15,9 +15,12 @@ from sift_parallel_optimization_tpu.ops.descriptor_fused import (
 
 def test_fused_kernel_matches_jnp_resample(rng):
     k = 8
+    pr, pc = D.PATCH_ROWS, D.PATCH_COLS
     atlas = jnp.asarray(rng.random((512, 640), np.float32))
-    grow = jnp.asarray(rng.integers(0, (512 - 112) // 8, k) * 8, jnp.int32)
-    x0 = jnp.asarray(rng.integers(0, (640 - 256) // 128, k) * 128, jnp.int32)
+    grow = jnp.asarray(
+        rng.integers(0, (512 - pr) // 16, k) * 16, jnp.int32
+    )
+    x0 = jnp.asarray(rng.integers(0, (640 - pc) // 128, k) * 128, jnp.int32)
     py = jnp.asarray(40.0 + 30.0 * rng.random(k), jnp.float32)
     px = jnp.asarray(100.0 + 50.0 * rng.random(k), jnp.float32)
     rad_o = jnp.asarray(5.0 + 30.0 * rng.random(k), jnp.float32)
@@ -29,7 +32,7 @@ def test_fused_kernel_matches_jnp_resample(rng):
     so, sd = gather_resample_pallas(atlas, grow, x0, params, interpret=True)
 
     patches = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(atlas, (y, x), (112, 256))
+        lambda y, x: jax.lax.dynamic_slice(atlas, (y, x), (pr, pc))
     )(grow, x0)
     lin_o = jnp.linspace(-1.0, 1.0, ORI_GRID)
     lin_d = jnp.linspace(-1.0, 1.0, DESC_GRID)

@@ -79,9 +79,10 @@ def main() -> int:
     )
 
     kf = 32
-    f_grow = jnp.asarray(rng.integers(0, (1024 - 112) // 8, kf) * 8,
+    pr, pc = D.PATCH_ROWS, D.PATCH_COLS
+    f_grow = jnp.asarray(rng.integers(0, (1024 - pr) // 16, kf) * 16,
                          jnp.int32)
-    f_x0 = jnp.asarray(rng.integers(0, (768 - 256) // 128, kf) * 128,
+    f_x0 = jnp.asarray(rng.integers(0, (768 - pc) // 128, kf) * 128,
                        jnp.int32)
     f_py = jnp.asarray(40.0 + 30.0 * rng.random(kf), jnp.float32)
     f_px = jnp.asarray(100.0 + 50.0 * rng.random(kf), jnp.float32)
@@ -91,7 +92,7 @@ def main() -> int:
     prm = prm.at[:, 0].set(f_py).at[:, 1].set(f_px)
     prm = prm.at[:, 2].set(f_ro).at[:, 3].set(f_rd)
     so, sd = gather_resample_pallas(atlas, f_grow, f_x0, prm)
-    pt = extract_atlas_patches_pallas(atlas, f_grow, f_x0, 112, 256)
+    pt = extract_atlas_patches_pallas(atlas, f_grow, f_x0, pr, pc)
     lin_o = jnp.linspace(-1.0, 1.0, ORI_GRID)
     lin_d = jnp.linspace(-1.0, 1.0, DESC_GRID)
     r_o = D._resample(pt, f_py, f_px, lin_o[None] * f_ro[:, None])
