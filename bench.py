@@ -106,6 +106,11 @@ def main() -> None:
         1e-6,
     )
 
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        reference_pyramid_model,
+    )
+
+    model = reference_pyramid_model(SIZE, S)
     print(
         json.dumps(
             {
@@ -113,6 +118,9 @@ def main() -> None:
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_BEST_MS / ms, 2),
+                "sol_pct": model.sol_pct(ms),
+                "bound": model.bound(),
+                "floor_ms": round(model.floor_ms(), 4),
             }
         )
     )

@@ -1,0 +1,274 @@
+"""Analytic roofline / speed-of-light accounting for the bench suite.
+
+The reference's whole methodology is self-timed measurement
+(/root/reference/main.cpp:60-74, GaussDePyramid-pThread.h:310-326); it
+never models WHERE the time should go. This module is the TPU-grade
+version SURVEY.md section 5 commits to: per-workload analytic cost models
+(algorithmic flops, minimal HBM traffic, scalar-gather elements) against
+one table of device peaks, so every bench record can carry
+
+    sol_pct = 100 * floor_ms / measured_ms
+
+and "is it fast?" becomes a number instead of an A/B vibe.
+
+Conventions:
+
+* Flops are ALGORITHMIC (e.g. a blur counts 2*(2r+1) flops per output
+  pixel — the taps the math needs), not what our blocked-band
+  implementation issues. %SOL therefore measures distance from the
+  problem's floor, not from our own schedule.
+* HBM bytes are the MINIMAL traffic of a perfectly fused schedule: each
+  input read once from HBM, each live output written once. Intermediates
+  a fused kernel could keep in VMEM count zero.
+* The floor is max(compute, memory, gather) — perfect overlap, i.e. a
+  true speed of light. A kernel at 100% is unimprovable without changing
+  the algorithm.
+
+Peaks for TPU v5e (one chip) from the public spec sheet; the f32 matmul
+rate reflects precision=HIGHEST's 6-pass bf16 emulation. The scalar
+gather rate is a MEASURED device characteristic (flat 19-offset candidate
+gathers, round 3: ~0.054 ms / (512*19) elems ~ 5.5 ns/elem) — element
+gathers have no spec-sheet peak.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from sift_parallel_optimization_tpu.config import PyramidConfig, num_octaves
+
+
+@dataclasses.dataclass(frozen=True)
+class Peaks:
+    name: str
+    hbm_gbps: float            # HBM bandwidth, GB/s
+    bf16_tflops: float         # MXU bf16 peak, TFLOP/s
+    f32_matmul_tflops: float   # MXU f32 (HIGHEST = 6-pass bf16) peak
+    vpu_f32_tflops: float      # vector unit f32 peak
+    gather_ns_per_elem: float  # measured scalar-gather cost
+
+
+TPU_V5E = Peaks(
+    name="tpu_v5e",
+    hbm_gbps=819.0,
+    bf16_tflops=197.0,
+    f32_matmul_tflops=197.0 / 6.0,
+    vpu_f32_tflops=4.0,
+    gather_ns_per_elem=5.5,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class CostModel:
+    """Analytic cost of one workload (see module conventions)."""
+
+    hbm_bytes: float = 0.0
+    mxu_f32_flops: float = 0.0   # matmul flops executed at HIGHEST
+    mxu_bf16_flops: float = 0.0  # matmul flops executed at DEFAULT
+    vpu_flops: float = 0.0       # elementwise/stencil flops
+    gather_elems: float = 0.0
+    note: str = ""
+
+    def floor_ms(self, peaks: Peaks = TPU_V5E) -> float:
+        t_mem = self.hbm_bytes / (peaks.hbm_gbps * 1e9)
+        t_mxu = (
+            self.mxu_f32_flops / (peaks.f32_matmul_tflops * 1e12)
+            + self.mxu_bf16_flops / (peaks.bf16_tflops * 1e12)
+        )
+        t_vpu = self.vpu_flops / (peaks.vpu_f32_tflops * 1e12)
+        t_gather = self.gather_elems * peaks.gather_ns_per_elem * 1e-9
+        return 1e3 * max(t_mem, t_mxu, t_vpu, t_gather)
+
+    def bound(self, peaks: Peaks = TPU_V5E) -> str:
+        t_mem = self.hbm_bytes / (peaks.hbm_gbps * 1e9)
+        t_mxu = (
+            self.mxu_f32_flops / (peaks.f32_matmul_tflops * 1e12)
+            + self.mxu_bf16_flops / (peaks.bf16_tflops * 1e12)
+        )
+        t_vpu = self.vpu_flops / (peaks.vpu_f32_tflops * 1e12)
+        t_gather = self.gather_elems * peaks.gather_ns_per_elem * 1e-9
+        best = max(
+            ("hbm", t_mem), ("mxu", t_mxu), ("vpu", t_vpu),
+            ("gather", t_gather),
+            key=lambda kv: kv[1],
+        )
+        return best[0]
+
+    def sol_pct(self, measured_ms: float, peaks: Peaks = TPU_V5E) -> float:
+        if measured_ms <= 0:
+            return 0.0
+        return round(100.0 * self.floor_ms(peaks) / measured_ms, 1)
+
+    def __add__(self, other: "CostModel") -> "CostModel":
+        return CostModel(
+            hbm_bytes=self.hbm_bytes + other.hbm_bytes,
+            mxu_f32_flops=self.mxu_f32_flops + other.mxu_f32_flops,
+            mxu_bf16_flops=self.mxu_bf16_flops + other.mxu_bf16_flops,
+            vpu_flops=self.vpu_flops + other.vpu_flops,
+            gather_elems=self.gather_elems + other.gather_elems,
+            note=self.note,
+        )
+
+
+def _octave_sizes(length: int, n_octaves: int | None = None) -> list[int]:
+    total = num_octaves(length)
+    n = total if n_octaves is None else min(n_octaves, total)
+    return [length // (2**o) for o in range(n)]
+
+
+def _taps(sigma: float) -> int:
+    return 2 * max(1, int(math.ceil(3.0 * sigma))) + 1
+
+
+def reference_pyramid_model(size: int, S: int) -> CostModel:
+    """REFERENCE-mode window+DoG (the headline): pure elementwise.
+
+    Per octave: read the base once, write S+3 output planes; one
+    multiply (+ one subtract, folded into the window bank) per output
+    element. The strided subsamples re-read the shrinking bases
+    (negligible vs the planes).
+    """
+    bytes_ = 0.0
+    flops = 0.0
+    for n in _octave_sizes(size):
+        bytes_ += 4.0 * n * n * (1 + (S + 3))
+        flops += 1.0 * (S + 3) * n * n
+    return CostModel(
+        hbm_bytes=bytes_, vpu_flops=flops,
+        note=f"reference pyramid {size}^2 S={S}",
+    )
+
+
+def sift_pyramid_model(cfg: PyramidConfig) -> CostModel:
+    """True Gaussian pyramid: separable blurs of every octave base.
+
+    Algorithmic flops: 2 passes x 2*(2r+1) flops per pixel per scale
+    (the taps); minimal bytes: read each octave base once, write the
+    S+3 planes once. They are charged at the MXU f32 rate because a
+    sub-MXU tap contraction cannot run anywhere faster.
+    """
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        _octave_scale_sigmas,
+    )
+
+    rel = _octave_scale_sigmas(cfg)
+    base_sigma = math.sqrt(
+        max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12)
+    )
+    bytes_ = 0.0
+    flops = 0.0
+    for o, n in enumerate(_octave_sizes(cfg.length, cfg.n_octaves)):
+        per_px = sum(2 * 2 * _taps(s) for s in rel)
+        if o == 0:
+            per_px += 2 * 2 * _taps(base_sigma)
+        flops += per_px * n * n
+        bytes_ += 4.0 * n * n * (1 + (cfg.S + 3))
+    return CostModel(
+        hbm_bytes=bytes_, mxu_f32_flops=flops,
+        note=f"sift pyramid {cfg.length}^2 S={cfg.S}",
+    )
+
+
+def dense_score_model(cfg: PyramidConfig) -> CostModel:
+    """Detection dense stage: DoG + 26-neighbor extrema + quadratic-fit
+    ranking score + block-reduce tables.
+
+    Minimal bytes: read the S+3 Gaussian planes once per octave (DoG,
+    stencils, and the block tables all fuse); the tables are ~V/64
+    floats (negligible). Stencil flops: ~60/voxel (min/max pools,
+    gradients, Hessian, adjugate solve) on the (S, N-2, N-2) interior.
+    """
+    bytes_ = 0.0
+    flops = 0.0
+    for n in _octave_sizes(cfg.length, cfg.n_octaves):
+        bytes_ += 4.0 * n * n * (cfg.S + 3)
+        flops += 60.0 * cfg.S * max(n - 2, 0) ** 2
+    return CostModel(
+        hbm_bytes=bytes_, vpu_flops=flops,
+        note=f"dense score {cfg.length}^2",
+    )
+
+
+def refit_model(capacity: int, rounds: int = 2) -> CostModel:
+    """Sparse candidate re-fit: 19-offset flat gathers per round."""
+    return CostModel(
+        gather_elems=float(capacity * 19 * rounds),
+        note=f"sparse refit K={capacity} x{rounds}",
+    )
+
+
+def descriptor_model(cfg: PyramidConfig, capacity: int) -> CostModel:
+    """Orientation + descriptor stage.
+
+    Dominant: the per-keypoint patch DMA (PATCH_ROWS x PATCH_COLS, read
+    + write) and the atlas build (read pyramid, write padded atlas).
+    Resample/histogram einsums run at DEFAULT (bf16) precision.
+    """
+    import numpy as np
+
+    from sift_parallel_optimization_tpu.models import descriptor as D
+
+    item = float(np.dtype(D.ATLAS_DTYPE).itemsize)
+    # Copy-like traffic (DMA patch gather, atlas pad) overlaps its reads
+    # and writes — the measured gather sustains ~819 GB/s in EACH
+    # direction — so copies are charged one-way (max of read, write).
+    # Round-3 calibration: modeling the patch DMA as read+write put the
+    # measured stage at "131% of SOL", i.e. the floor was wrong.
+    patch_bytes = capacity * D.PATCH_ROWS * D.PATCH_COLS * item
+    atlas_rows = 0.0
+    pyr_bytes = 0.0
+    for n in _octave_sizes(cfg.length, cfg.n_octaves):
+        atlas_rows += (cfg.S + 3) * (2 * D.ROW_PAD + n)
+        pyr_bytes += 4.0 * n * n * (cfg.S + 3)
+    atlas_bytes = atlas_rows * (D.COL_PAD + cfg.length + 128) * item
+    atlas_bytes = max(atlas_bytes, pyr_bytes)
+    pyr_bytes = 0.0  # read side of the atlas copy, already charged
+    # Resample: two hat einsums per grid (ori 18, desc 26).
+    resample = 0.0
+    for g in (D.ORI_GRID, D.DESC_GRID):
+        resample += 2 * g * D.PATCH_ROWS * D.PATCH_COLS
+        resample += 2 * g * g * D.PATCH_COLS
+    hist = 2 * (D.DESC_GRID - 2) ** 2 * (16 + 16 * 8)  # trilinear votes
+    return CostModel(
+        hbm_bytes=patch_bytes + atlas_bytes + pyr_bytes,
+        mxu_bf16_flops=capacity * (resample + hist),
+        note=f"descriptors K={capacity}",
+    )
+
+
+def frontend_model(cfg: PyramidConfig, capacity: int) -> CostModel:
+    """Full frontend floor: sum of the stage models (stages share no
+    work, so floors add)."""
+    m = (
+        sift_pyramid_model(cfg)
+        + dense_score_model(cfg)
+        + refit_model(capacity)
+        + descriptor_model(cfg, capacity)
+    )
+    return dataclasses.replace(
+        m, note=f"frontend {cfg.length}^2 K={capacity}"
+    )
+
+
+def matching_model(k: int, dim: int = 128) -> CostModel:
+    """Descriptor matching: one (K, D) x (D, K) similarity matmul plus
+    ratio/mutual reductions."""
+    return CostModel(
+        hbm_bytes=2.0 * k * dim * 4 + 4.0 * k * k,
+        mxu_bf16_flops=2.0 * k * k * dim,
+        note=f"match {k}x{k}",
+    )
+
+
+def stage_models(
+    cfg: PyramidConfig, capacity: int
+) -> dict[str, CostModel]:
+    """The frontend stage decomposition used by `cli bench -w stages`."""
+    return {
+        "pyramid": sift_pyramid_model(cfg),
+        "dense_score": dense_score_model(cfg),
+        "refit": refit_model(capacity),
+        "descriptors": descriptor_model(cfg, capacity),
+        "frontend": frontend_model(cfg, capacity),
+    }

@@ -38,6 +38,9 @@ def bench_pyramid(
     writer: MetricsWriter, sizes=(256, 512, 1024), S: int = 2,
     variants=None, **kw,
 ) -> None:
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        reference_pyramid_model,
+    )
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
         reference_dog_pyramid,
     )
@@ -58,6 +61,7 @@ def bench_pyramid(
     }
     for size in sizes:
         img = _rand_img(size)
+        model = reference_pyramid_model(size, S)
         for variant in variants:
             impl = impls[variant]
 
@@ -69,6 +73,8 @@ def bench_pyramid(
                 f"pyramid_dog_ms_per_frame_{size}", round(ms, 4), "ms",
                 variant=variant, S=S,
                 frames_per_s=round(1e3 / max(ms, 1e-6), 1),
+                sol_pct=model.sol_pct(ms), bound=model.bound(),
+                floor_ms=round(model.floor_ms(), 4),
             )
 
 
@@ -80,9 +86,12 @@ def bench_frontend(
         sift_config,
     )
 
+    from sift_parallel_optimization_tpu.bench.roofline import frontend_model
+
     for size in sizes:
         cfg = sift_config(size)
         img = _rand_img(size)
+        model = frontend_model(cfg, max_keypoints)
 
         def step(x):
             f = extract_features(x, cfg, max_keypoints)
@@ -93,6 +102,101 @@ def bench_frontend(
             f"frontend_ms_per_frame_{size}", round(ms, 4), "ms",
             max_keypoints=max_keypoints,
             frames_per_s=round(1e3 / max(ms, 1e-6), 1),
+            sol_pct=model.sol_pct(ms), bound=model.bound(),
+            floor_ms=round(model.floor_ms(), 4),
+        )
+
+    # Dual-orientation frontend (the configuration the SfM/odometry ATE
+    # gates actually run) — recorded so throughput claims describe the
+    # product path, not only the single-orientation kernel path.
+    for size in sizes:
+        cfg = sift_config(size)
+        img = _rand_img(size)
+
+        def step2(x):
+            f = extract_features(
+                x, cfg, max_keypoints, dual_orientation=True
+            )
+            return f.descriptors.sum() + f.keypoints.score.sum()
+
+        ms = chained_slope_ms(step2, img, chain_lo=30, chain_hi=150)
+        writer.write(
+            f"frontend_dual_ms_per_frame_{size}", round(ms, 4), "ms",
+            max_keypoints=max_keypoints,
+            frames_per_s=round(1e3 / max(ms, 1e-6), 1),
+        )
+
+
+def bench_stages(
+    writer: MetricsWriter, size: int = 512, max_keypoints: int = 512, **kw,
+) -> None:
+    """Frontend STAGE decomposition with roofline %SOL per stage.
+
+    Stages are measured as deltas between nested cumulative programs
+    (pyramid; +dense score; +extraction/refit; +descriptors) — the only
+    honest decomposition under fusion, since a stage's producers fuse
+    into it. Each record carries the stage's analytic floor
+    (bench/roofline.py), its %SOL, and which resource bounds it.
+    """
+    from sift_parallel_optimization_tpu.bench.roofline import stage_models
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        sift_gaussian_pyramid,
+    )
+    from sift_parallel_optimization_tpu.models.detect import (
+        _dense_score,
+        detect_pyramid,
+    )
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+
+    cfg = sift_config(size)
+    img = _rand_img(size)
+    models = stage_models(cfg, max_keypoints)
+
+    def pyr(x):
+        return sum(o.sum() for o in sift_gaussian_pyramid(x, cfg))
+
+    def score(x):
+        gauss = sift_gaussian_pyramid(x, cfg)
+        dogs = [g[1:] - g[:-1] for g in gauss]
+        return sum(
+            _dense_score(d, cfg, 0.04, 10.0, 1).sum() for d in dogs
+        )
+
+    def detect(x):
+        gauss = sift_gaussian_pyramid(x, cfg)
+        dogs = [g[1:] - g[:-1] for g in gauss]
+        kp = detect_pyramid(dogs, cfg, max_keypoints=max_keypoints)
+        return kp.score.sum() + kp.x.sum()
+
+    def frontend(x):
+        f = extract_features(x, cfg, max_keypoints)
+        return f.descriptors.sum() + f.keypoints.score.sum()
+
+    t = {}
+    for name, fn in (
+        ("pyramid", pyr), ("score", score),
+        ("detect", detect), ("frontend", frontend),
+    ):
+        t[name] = chained_slope_ms(
+            fn, img, min_hi_total_ms=60, median_of=3
+        )
+
+    stage_ms = {
+        "pyramid": t["pyramid"],
+        "dense_score": t["score"] - t["pyramid"],
+        "refit": t["detect"] - t["score"],       # extraction + refit tail
+        "descriptors": t["frontend"] - t["detect"],
+        "frontend": t["frontend"],
+    }
+    for stage, ms in stage_ms.items():
+        m = models[stage]
+        writer.write(
+            f"stage_{stage}_ms_{size}", round(ms, 4), "ms",
+            sol_pct=m.sol_pct(ms), bound=m.bound(),
+            floor_ms=round(m.floor_ms(), 4), max_keypoints=max_keypoints,
         )
 
 
@@ -116,8 +220,15 @@ def bench_matching(writer: MetricsWriter, k: int = 512, **kw) -> None:
         m = match_descriptors(d1 + 1e-12 * x.sum(), d2, v, v)
         return m.similarity.sum()
 
+    from sift_parallel_optimization_tpu.bench.roofline import matching_model
+
     ms = chained_slope_ms(match_step, d1, chain_lo=30, chain_hi=200)
-    writer.write(f"match_ms_{k}x{k}", round(ms, 4), "ms")
+    mm = matching_model(k)
+    writer.write(
+        f"match_ms_{k}x{k}", round(ms, 4), "ms",
+        sol_pct=mm.sol_pct(ms), bound=mm.bound(),
+        floor_ms=round(mm.floor_ms(), 4),
+    )
 
     def ransac_step(x):
         r = ransac_homography(key, p1 + 1e-12 * x.sum(), p2, v, 256)
@@ -318,13 +429,18 @@ def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
 
 def run_suite(
     writer: MetricsWriter,
-    workloads=("pyramid", "frontend", "matching", "ba", "matrix", "scaling"),
+    workloads=(
+        "pyramid", "frontend", "stages", "matching", "ba", "matrix",
+        "scaling",
+    ),
     **kw,
 ) -> None:
     if "pyramid" in workloads:
         bench_pyramid(writer, **kw)
     if "frontend" in workloads:
         bench_frontend(writer, **kw)
+    if "stages" in workloads:
+        bench_stages(writer, **kw)
     if "matching" in workloads:
         bench_matching(writer, **kw)
     if "ba" in workloads:
