@@ -272,3 +272,107 @@ def stage_models(
         "descriptors": descriptor_model(cfg, capacity),
         "frontend": frontend_model(cfg, capacity),
     }
+
+
+# ---------------------------------------------------------------------------
+# ICI cost model: per-device interconnect bytes of each sharded op, so the
+# >= 80% multi-chip scaling target is an AUDITABLE calculation the day real
+# multi-chip hardware appears (real runs are impossible in this
+# environment; the CPU-mesh sweep validates correctness, not bandwidth).
+# ---------------------------------------------------------------------------
+
+# Effective per-chip ICI bandwidth assumption for v5e (1600 Gbps aggregate
+# per chip on the spec sheet; ~90 GB/s effective per collective direction
+# after protocol overheads — the standard planning number, stated here so
+# every projection is reproducible from the recorded bytes).
+ICI_EFFECTIVE_GBPS = 90.0
+
+
+def ring_all_reduce_bytes(array_bytes: float, n: int) -> float:
+    """Per-device ICI bytes of a ring psum (reduce-scatter + all-gather)."""
+    return 2.0 * array_bytes * (n - 1) / n if n > 1 else 0.0
+
+
+def ring_reduce_scatter_bytes(array_bytes: float, n: int) -> float:
+    return array_bytes * (n - 1) / n if n > 1 else 0.0
+
+
+def ring_all_gather_bytes(array_bytes: float, n: int) -> float:
+    return array_bytes * (n - 1) / n if n > 1 else 0.0
+
+
+def sharded_pyramid_ici_bytes(cfg: PyramidConfig, n_spatial: int) -> float:
+    """Per-device ICI bytes per frame of the row-sharded SIFT pyramid.
+
+    One ppermute halo exchange per sharded blur-bank call (max blur
+    radius covers every scale — parallel/scale_space.sharded_blur_bank):
+    each device sends/receives r rows in each direction. Octaves stop
+    sharding when the local height cannot hold the halo (the can_shard
+    rule in sharded_sift_gaussian_pyramid).
+    """
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        _band_radius,
+        _octave_scale_sigmas,
+    )
+
+    if n_spatial <= 1:
+        return 0.0
+    rel = _octave_scale_sigmas(cfg)
+    base_sigma = math.sqrt(
+        max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12)
+    )
+    max_r = max(_band_radius(s) for s in [base_sigma, *rel])
+    total = 0.0
+    first = True
+    for n in _octave_sizes(cfg.length, cfg.n_octaves):
+        if n % (2 * n_spatial) or n // n_spatial < max(2 * max_r, 8):
+            break  # tail octaves run unsharded
+        if first:  # base blur exchange at octave-0 size
+            total += 2 * 2 * _band_radius(base_sigma) * n * 4.0
+            first = False
+        total += 2 * 2 * max_r * n * 4.0  # send+recv, up+down
+    return total
+
+
+def dp_frontend_ici_bytes() -> float:
+    """Batch-sharded frontend: zero collectives inside the step (pure
+    data parallelism; outputs stay sharded)."""
+    return 0.0
+
+
+def ba_cg_ici_bytes(
+    n_cams: int, n_pts: int, n_dev: int,
+    gn_iters: int = 10, cg_iters: int = 25,
+) -> float:
+    """Per-device ICI bytes of the observation-sharded implicit-Schur CG
+    BA (parallel/ba.distributed_ba_step_cg), per bundle_adjust call.
+
+    Per GN step: one psum of (C,6,6)+(C,6), one psum_scatter of
+    (P,3,3)+(P,3); per CG matvec: one psum_scatter + one all_gather of
+    (P,3) and one psum of (C,6).
+    """
+    c_blocks = (n_cams * 36 + n_cams * 6) * 4.0
+    p_blocks = (n_pts * 9 + n_pts * 3) * 4.0
+    per_gn = (
+        ring_all_reduce_bytes(c_blocks, n_dev)
+        + ring_reduce_scatter_bytes(p_blocks, n_dev)
+    )
+    per_matvec = (
+        ring_reduce_scatter_bytes(n_pts * 3 * 4.0, n_dev)
+        + ring_all_gather_bytes(n_pts * 3 * 4.0, n_dev)
+        + ring_all_reduce_bytes(n_cams * 6 * 4.0, n_dev)
+    )
+    return gn_iters * (per_gn + cg_iters * per_matvec)
+
+
+def projected_efficiency(
+    single_chip_ms: float, n: int, ici_bytes_per_dev: float,
+    peaks: Peaks = TPU_V5E,
+) -> float:
+    """Projected strong-scaling efficiency at n chips: perfect compute
+    split + the analytic ICI time (no overlap assumed — pessimistic)."""
+    if n <= 1:
+        return 1.0
+    t_comp = single_chip_ms / n
+    t_ici = 1e3 * ici_bytes_per_dev / (ICI_EFFECTIVE_GBPS * 1e9)
+    return round(single_chip_ms / (n * (t_comp + t_ici)), 3)

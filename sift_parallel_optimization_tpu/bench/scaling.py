@@ -66,7 +66,21 @@ def bench_scaling(
     device_counts=(1, 2, 4, 8),
     **kw,
 ) -> None:
-    """DP frontend throughput vs virtual mesh size (batch fixed)."""
+    """DP frontend throughput vs virtual mesh size (batch fixed).
+
+    Every row carries the ANALYTIC per-device ICI bytes of the sharded
+    step (bench/roofline.py) — the auditable half of the >= 80% scaling
+    target. CPU-mesh wall times validate correctness/efficiency shape
+    only (XLA's CPU backend multithreads within one device); the BYTES
+    are exact for real chips, and BASELINE.md turns them into projected
+    chip efficiencies against the measured single-chip times.
+    """
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        dp_frontend_ici_bytes,
+        sharded_pyramid_ici_bytes,
+    )
+    from sift_parallel_optimization_tpu.models.frontend import sift_config
+
     results = {}
     for n in device_counts:
         out = subprocess.run(
@@ -94,4 +108,15 @@ def bench_scaling(
             round(rec["total_ms"] / batch, 3), "ms/frame",
             mesh_devices=n, batch=batch,
             efficiency_vs_smallest=round(eff, 3),
+            ici_bytes_per_step=dp_frontend_ici_bytes(),
+        )
+
+    # Row-sharded SIFT pyramid: analytic halo traffic per frame at each
+    # mesh size (one ppermute per sharded octave; tail runs unsharded).
+    cfg = sift_config(512)
+    for n in device_counts:
+        writer.write(
+            f"scaling_pyramid_ici_bytes_512_n{n}",
+            sharded_pyramid_ici_bytes(cfg, n), "bytes/frame/device",
+            mesh_devices=n,
         )

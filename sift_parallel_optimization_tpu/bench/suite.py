@@ -284,6 +284,52 @@ def bench_ba(
         )
 
 
+def bench_stream(
+    writer: MetricsWriter, size: int = 512, frames: int = 200,
+    max_keypoints: int = 512, **kw,
+) -> None:
+    """End-to-end pipelined serving throughput (the `cli stream` flow):
+    native C++ ring loader -> H2D -> frontend, results drained at the
+    end. Wall-clock is the right instrument HERE — the scalar count
+    fetches force every result, so total time covers the full pipeline
+    including host frame generation and the relay — unlike per-kernel
+    numbers, where only chained_slope_ms is honest."""
+    import time
+
+    import jax
+
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        return
+    cfg = sift_config(size)
+    fe = jax.jit(
+        lambda x: extract_features(
+            x, cfg, max_keypoints, dual_orientation=True
+        )
+    )
+    with native.FrameLoader(size, n_buffers=4, n_threads=2, seed=0) as ld:
+        _, frame = ld.next_frame()
+        int(fe(jnp.asarray(frame)).keypoints.count())  # compile
+        counts = []
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            _, frame = ld.next_frame()
+            counts.append(fe(jnp.asarray(frame)).keypoints.count())
+        n_kp = sum(int(c) for c in counts)  # drains the pipeline
+        dt = time.perf_counter() - t0
+    writer.write(
+        f"stream_fps_{size}", round(frames / dt, 1), "frames/s",
+        frames=frames, dual_orientation=True,
+        ms_per_frame=round(1e3 * dt / frames, 3),
+        keypoints_per_frame=round(n_kp / frames, 1),
+    )
+
+
 def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
     """The parallelism-KNOB sweep — the reference's schedule/chunk study
     (OpenMP static/dynamic/guided x chunk_size, GaussDePyramid-OpenMP.h:
@@ -430,8 +476,8 @@ def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
 def run_suite(
     writer: MetricsWriter,
     workloads=(
-        "pyramid", "frontend", "stages", "matching", "ba", "matrix",
-        "scaling",
+        "pyramid", "frontend", "stages", "stream", "matching", "ba",
+        "matrix", "scaling",
     ),
     **kw,
 ) -> None:
@@ -441,6 +487,8 @@ def run_suite(
         bench_frontend(writer, **kw)
     if "stages" in workloads:
         bench_stages(writer, **kw)
+    if "stream" in workloads:
+        bench_stream(writer, **kw)
     if "matching" in workloads:
         bench_matching(writer, **kw)
     if "ba" in workloads:

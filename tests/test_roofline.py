@@ -79,3 +79,38 @@ def test_known_magnitudes():
     d = descriptor_model(cfg, 512)
     assert d.bound() == "hbm"
     assert np.isfinite(f3)
+
+
+def test_ici_models():
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        ba_cg_ici_bytes,
+        dp_frontend_ici_bytes,
+        projected_efficiency,
+        ring_all_reduce_bytes,
+        sharded_pyramid_ici_bytes,
+    )
+
+    cfg = sift_config(512)
+    assert dp_frontend_ici_bytes() == 0.0
+    assert sharded_pyramid_ici_bytes(cfg, 1) == 0.0
+    b8 = sharded_pyramid_ici_bytes(cfg, 8)
+    # 8-way at 512^2: base-blur halo (r=5) + octave-0 and octave-1
+    # exchanges at r=15 (octave 2 local height 16 < 2r -> unsharded):
+    # 2*2*(5*512 + 15*512 + 15*256) * 4B = 215 KB.
+    assert b8 == 2 * 2 * (5 * 512 + 15 * 512 + 15 * 256) * 4.0
+    # More devices shard fewer octaves but never move more halo bytes
+    # per device than 2-way (halo per exchange is mesh-size-invariant).
+    assert sharded_pyramid_ici_bytes(cfg, 2) >= b8
+    # Ring all-reduce: 2*(n-1)/n of the array per device.
+    assert ring_all_reduce_bytes(100.0, 2) == 100.0
+    # Projected efficiency: monotone in ICI bytes, 1.0 at n=1.
+    assert projected_efficiency(1.0, 1, 1e9) == 1.0
+    e_small = projected_efficiency(0.071, 8, b8)
+    e_big = projected_efficiency(0.071, 8, 100 * b8)
+    assert 0 < e_big < e_small <= 1.0
+    # BA CG traffic grows with devices' (n-1)/n factor and iters.
+    assert ba_cg_ici_bytes(50, 2000, 1) == 0.0
+    assert (
+        ba_cg_ici_bytes(50, 2000, 8, gn_iters=10, cg_iters=25)
+        > ba_cg_ici_bytes(50, 2000, 8, gn_iters=1, cg_iters=25) * 9
+    )
