@@ -72,7 +72,7 @@ def test_tables_match_dense_score(rng, shape):
 
     # Same expressions, but separately compiled XLA programs contract
     # FMAs differently — values agree to fp noise, and borderline
-    # candidates (|d_rank| within noise of the threshold) may flip.
+    # candidates (gates within noise of their thresholds) may flip.
     pos_ref = {k for k, (m, _) in ref.items() if m > 0}
     flips = len(pos_ref ^ set(got))
     assert flips <= max(2, 0.01 * len(pos_ref)), (flips, len(pos_ref))
