@@ -113,6 +113,22 @@ def _cmd_features(args) -> int:
     return 0
 
 
+def _save_traj(args, rvecs, tvecs, timestamps) -> None:
+    """Export the estimated trajectory (``--save-traj``, TUM or KITTI)."""
+    if not getattr(args, "save_traj", None):
+        return
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        save_kitti,
+        save_tum,
+    )
+
+    if args.traj_format == "kitti":
+        save_kitti(args.save_traj, rvecs, tvecs)
+    else:
+        save_tum(args.save_traj, timestamps, rvecs, tvecs)
+    print(f"trajectory written to {args.save_traj} ({args.traj_format})")
+
+
 def _cmd_sfm(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -169,10 +185,12 @@ def _cmd_sfm(args) -> int:
             )
 
             traj, m = run_odometry(
-                jax.random.key(args.seed), feats, K, window=args.window
+                jax.random.key(args.seed), feats, K, window=args.window,
+                loop_closure=args.loop_closure,
             )
             est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
-            print(f"window odometry (W={args.window}): "
+            print(f"window odometry (W={args.window}"
+                  f"{', loop closure' if args.loop_closure else ''}): "
                   f"{len(imgs)} frames, "
                   f"{int(m.pt_valid.sum())} live landmarks")
         else:
@@ -185,22 +203,30 @@ def _cmd_sfm(args) -> int:
               f"{float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
         c = np.asarray(est_tvecs)
         print(f"trajectory extent: {np.ptp(c, axis=0).round(3).tolist()}")
+        frame_ts = []
+        for i, p in enumerate(paths):
+            try:
+                frame_ts.append(float(p.stem))
+            except ValueError:
+                frame_ts.append(float(i))
+        _save_traj(args, est_rvecs, est_tvecs, frame_ts)
         if args.groundtruth:
-            # TUM-format gate: associate frames (named by timestamp) with
-            # ground-truth poses, Sim(3)-align, report ATE.
+            # Associate frames with ground-truth poses, Sim(3)-align,
+            # report ATE. TUM associates by timestamp (frames named by
+            # timestamp); KITTI is frame-indexed.
             from sift_parallel_optimization_tpu.utils.trajectory import (
                 associate,
+                load_kitti,
                 load_tum,
             )
 
-            gt_ts, gt_centers, _ = load_tum(args.groundtruth)
-            frame_ts = []
-            for i, p in enumerate(paths):
-                try:
-                    frame_ts.append(float(p.stem))
-                except ValueError:
-                    frame_ts.append(float(i))
-            ia, ib = associate(frame_ts, gt_ts, max_dt=args.max_dt)
+            if args.gt_format == "kitti":
+                gt_centers, _ = load_kitti(args.groundtruth)
+                n = min(len(gt_centers), len(paths))
+                ia = ib = np.arange(n)
+            else:
+                gt_ts, gt_centers, _ = load_tum(args.groundtruth)
+                ia, ib = associate(frame_ts, gt_ts, max_dt=args.max_dt)
             if len(ia) < 3:
                 print(f"only {len(ia)} frame<->gt associations; no ATE")
                 return 1
@@ -243,10 +269,13 @@ def _cmd_sfm(args) -> int:
         )
 
         traj, m = run_odometry(
-            jax.random.key(args.seed), feats, K, window=args.window
+            jax.random.key(args.seed), feats, K, window=args.window,
+            loop_closure=args.loop_closure,
         )
         est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
-        print(f"window odometry (W={args.window}): {args.frames} frames, "
+        print(f"window odometry (W={args.window}"
+              f"{', loop closure' if args.loop_closure else ''}): "
+              f"{args.frames} frames, "
               f"{int(m.pt_valid.sum())} live landmarks")
     else:
         m = run_sfm(jax.random.key(args.seed), feats, K)
@@ -255,7 +284,38 @@ def _cmd_sfm(args) -> int:
               f"landmarks: {int(m.pt_valid.sum())}  "
               f"observations: {int(m.obs.valid.sum())}")
     print(f"reprojection RMS: {float(rms_error(m.ba_state(), m.obs, K)):.3f} px")
+    _save_traj(args, est_rvecs, est_tvecs, list(range(args.frames)))
     est = camera_centers(est_rvecs, est_tvecs)
+    if args.groundtruth:
+        # External ground truth against the rendered run (frame-indexed
+        # for KITTI, timestamp = frame index for TUM).
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            associate,
+            load_kitti,
+            load_tum,
+        )
+
+        if args.gt_format == "kitti":
+            gt_centers, _ = load_kitti(args.groundtruth)
+            n = min(len(gt_centers), args.frames)
+            ia = ib = np.arange(n)
+        else:
+            gt_ts, gt_centers, _ = load_tum(args.groundtruth)
+            ia, ib = associate(
+                [float(i) for i in range(args.frames)], gt_ts,
+                max_dt=args.max_dt,
+            )
+        if len(ia) < 3:
+            print(f"only {len(ia)} frame<->gt associations; no ATE")
+            return 1
+        ate = float(ate_rmse(
+            jnp.asarray(np.asarray(est)[ia]), jnp.asarray(gt_centers[ib])
+        ))
+        span = float(np.linalg.norm(np.ptp(gt_centers[ib], axis=0)))
+        print(f"ATE vs {args.groundtruth} over {len(ia)} poses: "
+              f"{ate:.4f} ({100 * ate / max(span, 1e-9):.2f}% of "
+              f"span {span:.3f})")
+        return 0
     gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
     ate = float(ate_rmse(est, gt))
     span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
@@ -346,11 +406,20 @@ def main(argv=None) -> int:
     s.add_argument("--focal", type=float, default=None,
                    help="focal length in px (default: image side)")
     s.add_argument("--groundtruth", default=None,
-                   help="TUM-format trajectory file to gate ATE against")
+                   help="trajectory file to gate ATE against")
+    s.add_argument("--gt-format", choices=("tum", "kitti"), default="tum",
+                   help="ground-truth format: TUM (timestamped quats) or "
+                        "KITTI (frame-indexed 3x4 poses)")
     s.add_argument("--window", type=int, default=0,
                    help="sliding-window odometry with this window size "
                         "(0 = full incremental SfM; O(window) memory for "
                         "long sequences)")
+    s.add_argument("--loop-closure", action="store_true",
+                   help="with --window: archive evicted landmarks and "
+                        "correct revisits via pose-graph optimization")
+    s.add_argument("--save-traj", default=None,
+                   help="write the estimated trajectory to this path")
+    s.add_argument("--traj-format", choices=("tum", "kitti"), default="tum")
     s.add_argument("--max-dt", type=float, default=0.02,
                    help="max timestamp gap for frame<->gt association (s)")
     s.set_defaults(fn=_cmd_sfm)

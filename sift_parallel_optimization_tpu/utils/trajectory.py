@@ -128,6 +128,57 @@ def save_tum(path, timestamps, rvecs, tvecs) -> None:
             )
 
 
+# ---------------------------------------------------------------------------
+# KITTI odometry trajectory format
+# ---------------------------------------------------------------------------
+#
+# One pose per line: 12 floats, the row-major 3x4 [R | t] camera-to-world
+# matrix of frame i (no timestamps — KITTI poses are frame-indexed). The
+# other half of BASELINE.json's "TUM/KITTI-style" evaluation target.
+
+
+def load_kitti(path):
+    """Read a KITTI odometry poses file.
+
+    Returns (centers (N, 3) f32, rotations (N, 3, 3) f32
+    camera-to-world) as numpy arrays; the translation column IS the
+    camera center in world coordinates.
+    """
+    import numpy as np
+
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) != 12:
+                raise IOError(f"{path}: bad KITTI line {line!r}")
+            rows.append([float(p) for p in parts])
+    if not rows:
+        raise IOError(f"{path}: no poses")
+    m = np.asarray(rows, np.float64).reshape(-1, 3, 4)
+    return m[:, :, 3].astype(np.float32), m[:, :, :3].astype(np.float32)
+
+
+def save_kitti(path, rvecs, tvecs) -> None:
+    """Write world->cam axis-angle poses as a KITTI poses file
+    (camera-to-world 3x4 per line, frame order)."""
+    import numpy as np
+
+    from sift_parallel_optimization_tpu.models.geometry import rodrigues
+
+    R = np.asarray(rodrigues(jnp.asarray(rvecs)))        # (C,3,3) world->cam
+    t = np.asarray(tvecs)
+    centers = -np.einsum("cij,ci->cj", R, t)
+    r_wc = np.swapaxes(R, 1, 2)
+    with open(path, "w") as f:
+        for i in range(len(t)):
+            m = np.concatenate([r_wc[i], centers[i][:, None]], axis=1)
+            f.write(" ".join(f"{v:.9f}" for v in m.reshape(-1)) + "\n")
+
+
 def _rotmat_to_quat(R):
     """(3, 3) rotation -> (x, y, z, w) quaternion (Shepperd's method)."""
     import numpy as np

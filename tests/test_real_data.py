@@ -153,3 +153,85 @@ def test_sequence_dir_ate_gate(tmp_path, capsys):
     assert ate_line, out
     pct = float(ate_line[0].split("(")[1].split("%")[0])
     assert pct < 3.0, out
+
+
+class TestKittiFormat:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from sift_parallel_optimization_tpu.models.geometry import rodrigues
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            camera_centers,
+            load_kitti,
+            save_kitti,
+        )
+
+        n = 6
+        rvecs = (0.3 * rng.normal(size=(n, 3))).astype(np.float32)
+        tvecs = rng.normal(size=(n, 3)).astype(np.float32)
+        p = tmp_path / "poses.txt"
+        save_kitti(p, rvecs, tvecs)
+        centers, rots = load_kitti(p)
+        expect = np.asarray(
+            camera_centers(jnp.asarray(rvecs), jnp.asarray(tvecs))
+        )
+        np.testing.assert_allclose(centers, expect, atol=1e-5)
+        r_expected = np.swapaxes(
+            np.asarray(rodrigues(jnp.asarray(rvecs))), 1, 2
+        )
+        np.testing.assert_allclose(rots, r_expected, atol=1e-5)
+
+    def test_load_rejects_garbage(self, tmp_path):
+        from sift_parallel_optimization_tpu.utils.trajectory import (
+            load_kitti,
+        )
+
+        p = tmp_path / "bad.txt"
+        p.write_text("1 2 3 4 5\n")
+        with pytest.raises(IOError):
+            load_kitti(p)
+
+
+@pytest.mark.slow
+def test_cli_save_traj_and_kitti_gate(tmp_path, capsys):
+    """cli sfm --save-traj round-trips through BOTH formats, and a
+    KITTI-format ground truth gates ATE (frame-indexed association)."""
+    from sift_parallel_optimization_tpu.cli import main
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        load_kitti,
+        load_tum,
+    )
+
+    kitti_path = tmp_path / "est_kitti.txt"
+    rc = main([
+        "sfm", "--frames", "5", "--size", "192",
+        "--save-traj", str(kitti_path), "--traj-format", "kitti",
+    ])
+    assert rc == 0
+    centers, rots = load_kitti(kitti_path)
+    assert centers.shape == (5, 3)
+
+    tum_path = tmp_path / "est_tum.txt"
+    rc = main([
+        "sfm", "--frames", "5", "--size", "192",
+        "--save-traj", str(tum_path), "--traj-format", "tum",
+    ])
+    assert rc == 0
+    ts, centers2, _ = load_tum(tum_path)
+    np.testing.assert_allclose(centers2, centers, atol=1e-4)
+
+    # The saved estimate IS a perfect KITTI ground truth for itself:
+    # re-running with it as --gt-format kitti must report ~0 ATE.
+    # (Rendered run is deterministic for fixed seed/size.)
+    rc = main([
+        "sfm", "--frames", "5", "--size", "192",
+        "--groundtruth", str(kitti_path), "--gt-format", "kitti",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ATE vs" in out
+    # Self-comparison: the reported ATE must be ~0 (deterministic rerun).
+    import re
+
+    m = re.search(r"ATE vs \S+ over \d+ poses: ([0-9.]+)", out)
+    assert m and float(m.group(1)) < 1e-3, out
