@@ -330,6 +330,116 @@ def bench_stream(
     )
 
 
+def bench_tracking(
+    writer: MetricsWriter, size: int = 256, window: int = 6,
+    pts_per_frame: int = 128, ba_iters: int = 4, **kw,
+) -> None:
+    """Steady-state odometry TRACKING step rate: shift-eviction +
+    PnP/triangulation registration + window BA per frame, the per-frame
+    device work of `run_odometry` once the window is full (BA defaults
+    are every-2-frames x 8 iters; n_iters=4 here is the amortized
+    per-frame equivalent). Chained on device like every kernel number —
+    the host-loop fps is relay-bound in this environment (see the
+    stream record), so the honest per-frame device cost is the metric.
+    """
+    import functools
+
+    from jax import lax
+
+    from sift_parallel_optimization_tpu.models.ba import (
+        bundle_adjust,
+        resolve_solver,
+    )
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.models.odometry import shift_window
+    from sift_parallel_optimization_tpu.models.sfm import (
+        empty_map,
+        init_two_view,
+        register_frame,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        return
+    cfg = sift_config(size)
+    focal = float(size)
+    K = jnp.array(
+        [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+        jnp.float32,
+    )
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, pts_per_frame * 2,
+                                   dual_orientation=True)
+    )
+    rvs = np.stack([[0.0, 0.02 * i, 0.0] for i in range(3)], 0)
+    tvs = np.stack([[-0.3 * i, 0.0, 0.03 * i] for i in range(3)], 0)
+    feats = [
+        fe(jnp.asarray(native.render_frame(
+            size, rvs[i].astype(np.float32), tvs[i].astype(np.float32),
+            focal, seed=2)))
+        for i in range(3)
+    ]
+    key = jax.random.key(0)
+    W, B = window, pts_per_frame
+    m = empty_map(W, B, max_loops=0)
+    m, used = init_two_view(key, feats[0], feats[1], K, m, B)
+    m, used = register_frame(key, m, feats[2], feats[1], 2, K, used, B)
+    solver = resolve_solver(W, W * B, "auto")
+    ba = functools.partial(
+        bundle_adjust, n_iters=ba_iters, damping=1e-4, huber_delta=2.0,
+        solver=solver,
+        **({"max_obs_per_point": -(-W // 8) * 8} if solver == "cg" else {}),
+    )
+    slot = min(2, W - 1)
+
+    def chain(n):
+        @jax.jit
+        def run(m0, used0):
+            def body(carry, _):
+                mm, uu = carry
+                mm = shift_window(mm, B)
+                mm, uu = register_frame(
+                    key, mm, feats[2], feats[1], slot, K, uu, B
+                )
+                st = ba(mm.ba_state(), mm.obs, K)
+                mm = mm._replace(
+                    rvecs=st.rvecs, tvecs=st.tvecs, points=st.points
+                )
+                return (mm, uu), None
+
+            out, _ = lax.scan(body, (m0, used0), None, length=n)
+            return out[0].tvecs.sum() + out[0].points.sum()
+
+        float(run(m, used))  # compile + warm
+        return run
+
+    import time
+
+    def total_ms(fn):
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(fn(m, used))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    lo, hi = 4, 16
+    t_hi = total_ms(chain(hi))
+    if t_hi < 60.0:  # stretch for the relay, like chained_slope_ms
+        scale = int(60.0 / max(t_hi, 1e-3)) + 1
+        lo, hi = lo * scale, hi * scale
+    lo_fn, hi_fn = chain(lo), chain(hi)
+    ms = max((total_ms(hi_fn) - total_ms(lo_fn)) / (hi - lo), 1e-6)
+    writer.write(
+        f"tracking_ms_per_frame_{size}", round(ms, 3), "ms",
+        window=W, pts_per_frame=B, ba_iters=ba_iters, solver=solver,
+        frames_per_s=round(1e3 / ms, 1),
+    )
+
+
 def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
     """The parallelism-KNOB sweep — the reference's schedule/chunk study
     (OpenMP static/dynamic/guided x chunk_size, GaussDePyramid-OpenMP.h:
@@ -476,8 +586,8 @@ def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
 def run_suite(
     writer: MetricsWriter,
     workloads=(
-        "pyramid", "frontend", "stages", "stream", "matching", "ba",
-        "matrix", "scaling",
+        "pyramid", "frontend", "stages", "stream", "tracking", "matching",
+        "ba", "matrix", "scaling",
     ),
     **kw,
 ) -> None:
@@ -489,6 +599,8 @@ def run_suite(
         bench_stages(writer, **kw)
     if "stream" in workloads:
         bench_stream(writer, **kw)
+    if "tracking" in workloads:
+        bench_tracking(writer, **kw)
     if "matching" in workloads:
         bench_matching(writer, **kw)
     if "ba" in workloads:

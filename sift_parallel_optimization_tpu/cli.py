@@ -378,7 +378,7 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="run the benchmark matrix")
     b.add_argument(
         "--workloads",
-        default="pyramid,frontend,stages,stream,matching,ba,matrix,scaling",
+        default="pyramid,frontend,stages,stream,tracking,matching,ba,matrix,scaling",
     )
     b.add_argument("--out", default=None, help="JSONL path (default stdout)")
     b.set_defaults(fn=_cmd_bench)
