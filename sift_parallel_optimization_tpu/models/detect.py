@@ -33,13 +33,25 @@ MAX_REFINE_OFFSET = 0.6  # reject candidates whose quadratic fit moves further
 
 
 def _window_extrema(dog: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(D, H, W) -> bool (D-2, H-2, W-2): strict 26-neighbor max / min."""
-    mx = lax.reduce_window(
-        dog, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "VALID"
-    )
-    mn = lax.reduce_window(
-        dog, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1), "VALID"
-    )
+    """(D, H, W) -> bool (D-2, H-2, W-2): strict 26-neighbor max / min.
+
+    Separable shifted-slice max/min instead of `lax.reduce_window`:
+    bitwise-identical booleans (max is associative; the window includes
+    the center either way), but the slices are plain elementwise ops XLA
+    fuses into the same pass as the quadratic-fit stencils, while each
+    reduce_window lowered to its own volume pass. Measured on v5e at
+    512^2 (round 3): pyramid+score 0.145 -> 0.110 ms.
+    """
+    def m3(x, axis, op):
+        n = x.shape[axis]
+        sl = lambda a, b: lax.slice_in_dim(x, a, b, axis=axis)
+        return op(op(sl(0, n - 2), sl(1, n - 1)), sl(2, n))
+
+    mx = dog
+    mn = dog
+    for axis in range(3):
+        mx = m3(mx, axis, jnp.maximum)
+        mn = m3(mn, axis, jnp.minimum)
     c = dog[1:-1, 1:-1, 1:-1]
     return c >= mx, c <= mn
 
@@ -442,14 +454,28 @@ def detect_octave_groups_batched(
     else:
         # Octave of each candidate: segment bases are sorted ascending, so
         # count how many bases the index has passed (tiny (B, K, n_oct)
-        # compare — cheaper than any gather-based search).
+        # compare — cheaper than any gather-based search). All nine
+        # per-octave metadata columns come back in ONE packed gather
+        # (measured time-neutral vs nine tiny gathers — XLA already fused
+        # those launches — kept for the smaller graph).
         bases = jnp.asarray(np.asarray(m_base, np.int32))
         j_i = jnp.sum(idx[..., None] >= bases[None, None, :], axis=-1) - 1
-        take = lambda m: flat_take(jnp.asarray(np.asarray(m, np.int32)), j_i)
-        base_c = take(m_base)
-        hs_c, ws_c = take(m_hs), take(m_ws)
-        lim_y, lim_x = take(m_ly), take(m_lx)
-        gstart_c, ng_c, row_c = take(m_gstart), take(m_ng), take(m_row)
+        packed = jnp.asarray(
+            np.stack(
+                [m_base, m_hs, m_ws, m_ly, m_lx, m_gstart, m_ng, m_row,
+                 m_oct],
+                axis=1,
+            ).astype(np.int32)
+        )  # (n_oct, 9)
+        cols = flat_take(
+            packed.reshape(-1),
+            j_i[..., None] * 9 + jnp.arange(9, dtype=jnp.int32),
+        )  # (B, K, 9)
+        base_c = cols[..., 0]
+        hs_c, ws_c = cols[..., 1], cols[..., 2]
+        lim_y, lim_x = cols[..., 3], cols[..., 4]
+        gstart_c, ng_c, row_c = cols[..., 5], cols[..., 6], cols[..., 7]
+        oct_c = cols[..., 8]
         rem = idx - base_c
     s_i = rem // (hs_c * ws_c)
     y_i = (rem // ws_c) % hs_c
@@ -533,7 +559,7 @@ def detect_octave_groups_batched(
         oct_ids = jnp.full_like(s_i, m_oct[0])
         scale_mult = float(2 ** m_oct[0])
     else:
-        oct_ids = flat_take(jnp.asarray(np.asarray(m_oct, np.int32)), j_i)
+        oct_ids = oct_c  # from the packed metadata gather
         scale_mult = jnp.exp2(oct_ids.astype(jnp.float32))
     sigma = cfg.sigma0 * jnp.exp2(s_o / cfg.S) * scale_mult
     return Keypoints(
