@@ -161,19 +161,22 @@ def _cmd_sfm(args) -> int:
             return 1
         paths = paths[: args.frames] if args.frames else paths
         raw = [native.imread(p) for p in paths]
-        # Center-crop every frame to the GLOBAL min side so the optical
-        # center stays at K's assumed principal point (size/2, size/2).
-        side = min(min(im.shape) for im in raw)
+        # Center-crop every frame to the GLOBAL min (height, width) so
+        # all frames share one shape (one compiled frontend) and the
+        # optical center stays at K's principal point. Non-square frames
+        # are supported natively — no square crop.
+        gh = min(im.shape[0] for im in raw)
+        gw = min(im.shape[1] for im in raw)
         imgs = []
         for im in raw:
-            y0 = (im.shape[0] - side) // 2
-            x0 = (im.shape[1] - side) // 2
-            imgs.append(im[y0:y0 + side, x0:x0 + side])
-        size = side
+            y0 = (im.shape[0] - gh) // 2
+            x0 = (im.shape[1] - gw) // 2
+            imgs.append(im[y0:y0 + gh, x0:x0 + gw])
+        size = min(gh, gw)
         focal = args.focal or float(size)
         cfg = sift_config(size)
         K = jnp.array(
-            [[focal, 0.0, size / 2], [0.0, focal, size / 2], [0.0, 0.0, 1.0]]
+            [[focal, 0.0, gw / 2], [0.0, focal, gh / 2], [0.0, 0.0, 1.0]]
         )
         fe = jax.jit(
             lambda x: extract_features(x, cfg, 256, dual_orientation=True)

@@ -377,3 +377,31 @@ class TestBatchedDetection:
             assert np.all(
                 (np.abs(flipped_norms - 1) < 1e-3) | (flipped_norms < 1e-6)
             )
+
+
+def test_non_square_frontend():
+    """Non-square frames run natively end-to-end: keypoints appear
+    BEYOND the min-side square (full-width coverage), descriptors are
+    unit, and coordinates stay inside the true image bounds."""
+    h, w = 192, 256
+    cfg = sift_config(min(h, w))
+    rng = np.random.default_rng(0)
+    img = np.full((h, w), 0.5, np.float32)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(24):
+        cy, cx = rng.uniform(10, h - 10), rng.uniform(10, w - 10)
+        s = rng.uniform(2.0, 6.0)
+        img += rng.uniform(-0.4, 0.4) * np.exp(
+            -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s * s)
+        )
+    feats = jax.jit(
+        lambda im: extract_features(im, cfg, 128)
+    )(jnp.asarray(np.clip(img, 0, 1)))
+    v = np.asarray(feats.keypoints.valid)
+    assert v.sum() >= 10
+    xs = np.asarray(feats.keypoints.x)[v]
+    ys = np.asarray(feats.keypoints.y)[v]
+    assert xs.max() > h, "no keypoints beyond the min-side square"
+    assert xs.max() < w and ys.max() < h
+    norms = np.linalg.norm(np.asarray(feats.descriptors)[v], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
