@@ -208,6 +208,42 @@ def _cube_fit(vals19: jax.Array, edge_ratio: float):
     return off_s, off_y, off_x, d_hat, edge_ok
 
 
+def _block_top2(rows: jax.Array):
+    """(N, B) non-negative scores -> per-row (max, argmax, 2nd max,
+    2nd argmax), as ONE variadic lax.reduce over the block axis.
+
+    The combiner is the associative top-2 tournament merge, so XLA can
+    fuse the whole table construction into the score producer. Matches
+    max/argmax + mask-the-argmax/re-reduce exactly (first-index ties).
+    """
+    lane = jnp.broadcast_to(
+        jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :], rows.shape
+    )
+    zf = jnp.zeros_like(rows)
+    zi = jnp.zeros_like(lane)
+
+    def comb(a, b):
+        m1a, a1a, m2a, a2a = a
+        m1b, a1b, m2b, a2b = b
+        swap = m1b > m1a
+        first = jnp.where(swap, m1b, m1a)
+        fidx = jnp.where(swap, a1b, a1a)
+        lose_v = jnp.where(swap, m1a, m1b)
+        lose_i = jnp.where(swap, a1a, a1b)
+        win2_v = jnp.where(swap, m2b, m2a)
+        win2_i = jnp.where(swap, a2b, a2a)
+        s_swap = lose_v > win2_v
+        second = jnp.where(s_swap, lose_v, win2_v)
+        sidx = jnp.where(s_swap, lose_i, win2_i)
+        return first, fidx, second, sidx
+
+    return lax.reduce(
+        (rows, lane, zf, zi),
+        (jnp.float32(0), jnp.int32(0), jnp.float32(0), jnp.int32(0)),
+        comb, (1,),
+    )
+
+
 def detect_octave_groups(
     groups: list[list[tuple[int, jax.Array]]],
     cfg: PyramidConfig,
@@ -380,13 +416,18 @@ def detect_octave_groups_batched(
     #   0.407 ms with per-group approx_max_k -> 0.237 ms with BLK=64
     #   block-reduce + exact table top-k — the approx_max_k calls cost
     #   0.139 ms reading materialized score volumes, the fused block
-    #   tables ~0.022 ms. Like approx_max_k, per-block top-1 is a recall
-    #   tradeoff: two global-top-k candidates in one 64-voxel block lose
-    #   one. Strict 26-neighbor extrema are >= 2 voxels apart, so a block
-    #   holds at most 32 candidates but typically 0-1 (~100 candidates
-    #   spread over ~19k blocks at 512^2); recall is gated at >= 0.95 by
-    #   the suite (tests/test_sift_frontend.py) and >= 0.99 on hardware
-    #   (tools/tpu_sanity.py).
+    #   tables ~0.022 ms. Each block keeps its TOP-2 (max, then max with
+    #   the argmax masked out): top-1 looked fine on single-frame recall
+    #   gates but SIFT candidates CLUSTER (blob edges yield extrema 2-3
+    #   voxels apart in one row), and the ~2 clustered candidates lost
+    #   per frame measurably broke downstream odometry on chip (18-frame
+    #   revisit windowed ATE 2.4% of span with exact top-k vs 6.0% with
+    #   top-1 block-reduce — found in round 3 AFTER recall gates passed
+    #   at 65/65). Top-2 requires THREE global-top-k candidates in one
+    #   64-voxel block to lose one. Recall is gated at >= 0.95 by the
+    #   suite (tests/test_sift_frontend.py), >= 0.99 on hardware
+    #   (tools/tpu_sanity.py), and the odometry revisit gate guards the
+    #   downstream effect (tests/test_odometry.py).
     # * exact (CPU default): flat top-k per group + exact merge — any
     #   global winner is inside its group's top-k, and ties resolve by
     #   flat index in both forms (group-major concat order == flat score
@@ -410,14 +451,23 @@ def detect_octave_groups_batched(
                 pad = (-vg) % blk
                 rows = (jnp.pad(row, (0, pad)) if pad else row)
                 rows = rows.reshape(-1, blk)
-                tv = rows.max(axis=1)
-                ta = rows.argmax(axis=1).astype(jnp.int32)
-                ti = (jnp.arange(rows.shape[0], dtype=jnp.int32) * blk + ta)
+                rbase = jnp.arange(rows.shape[0], dtype=jnp.int32) * blk
+                # Top-2 per block (see design comment above) as ONE
+                # variadic lax.reduce — a two-pass mask-the-argmax form
+                # has a cross-pass data dependency that stops XLA fusing
+                # the block table into the score producer (measured
+                # +0.017 ms at 512^2).
+                tv1, ta1, tv2, ta2 = _block_top2(rows)
                 # Padded entries carry score 0 (never valid), but clamp
                 # their index inside the group so downstream octave/coord
                 # math cannot read out of range.
-                parts_v.append(tv)
-                parts_i.append(g_base + jnp.minimum(ti, vg - 1))
+                parts_v.append(jnp.concatenate([tv1, tv2]))
+                parts_i.append(
+                    g_base + jnp.minimum(
+                        jnp.concatenate([rbase + ta1, rbase + ta2]),
+                        vg - 1,
+                    )
+                )
             else:
                 kg = min(k, vg)
                 v_g, i_g = lax.top_k(row, kg)

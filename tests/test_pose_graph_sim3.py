@@ -1,0 +1,170 @@
+"""Sim(3) pose graph: scale drift a rigid pose graph cannot fix.
+
+Construct a chain whose odometry edges carry a multiplicative scale
+error (the monocular drift model) plus one absolute loop edge back to
+the start. The SE(3) graph structurally cannot shrink the chain (each
+edge's translation length is a hard measurement); the Sim(3) graph
+absorbs the discrepancy in the per-node scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sift_parallel_optimization_tpu.models.pose_graph import (
+    PoseGraphEdges,
+    Poses,
+    optimize_pose_graph,
+    relative_pose,
+)
+from sift_parallel_optimization_tpu.models.pose_graph_sim3 import (
+    Sim3Edges,
+    Sim3Poses,
+    optimize_sim3_graph,
+    se3_to_sim3_poses,
+    sim3_rms,
+    sim3_to_se3_poses,
+)
+from sift_parallel_optimization_tpu.utils.trajectory import (
+    ate_rmse,
+    camera_centers,
+)
+
+
+def _drifted_chain(n=12, per_edge_scale=1.06, seed=0):
+    """Ground-truth poses along a line + drifted odometry estimates whose
+    step LENGTHS grow by ``per_edge_scale`` per edge."""
+    rng = np.random.default_rng(seed)
+    gt_r = 0.02 * rng.normal(size=(n, 3)).astype(np.float32)
+    gt_t = np.stack(
+        [np.linspace(0, 4, n), 0.2 * np.sin(np.linspace(0, 3, n)),
+         np.zeros(n)], 1
+    ).astype(np.float32)
+    gt = Poses(rvecs=jnp.asarray(gt_r), tvecs=jnp.asarray(gt_t))
+
+    # Integrate drifted odometry: each true relative step scaled.
+    est_r = [gt_r[0]]
+    est_t = [gt_t[0]]
+    from sift_parallel_optimization_tpu.models.geometry import (
+        rodrigues,
+        rotation_log,
+    )
+
+    s = 1.0
+    for i in range(n - 1):
+        rr, rt = relative_pose(
+            jnp.asarray(gt_r[i]), jnp.asarray(gt_t[i]),
+            jnp.asarray(gt_r[i + 1]), jnp.asarray(gt_t[i + 1]),
+        )
+        s *= per_edge_scale
+        R_rel = rodrigues(rr)
+        R_prev = rodrigues(jnp.asarray(est_r[-1]))
+        R_new = R_rel @ R_prev
+        t_new = R_rel @ jnp.asarray(est_t[-1]) + s * rt
+        est_r.append(np.asarray(rotation_log(R_new)))
+        est_t.append(np.asarray(t_new))
+    est = Poses(
+        rvecs=jnp.asarray(np.stack(est_r)),
+        tvecs=jnp.asarray(np.stack(est_t)),
+    )
+
+    # Edges: the drifted chain measurements + one absolute loop 0 -> n-1
+    # carrying the TRUE relative pose (what an archive PnP provides).
+    src, dst, er, et, w = [], [], [], [], []
+    for i in range(n - 1):
+        rr, rt = relative_pose(
+            est.rvecs[i], est.tvecs[i], est.rvecs[i + 1], est.tvecs[i + 1]
+        )
+        src.append(i); dst.append(i + 1); er.append(rr); et.append(rt)
+        w.append(1.0)
+    rr, rt = relative_pose(
+        gt.rvecs[0], gt.tvecs[0], gt.rvecs[n - 1], gt.tvecs[n - 1]
+    )
+    src.append(0); dst.append(n - 1); er.append(rr); et.append(rt)
+    w.append(8.0)
+    edges = PoseGraphEdges(
+        i=jnp.asarray(src, jnp.int32), j=jnp.asarray(dst, jnp.int32),
+        rel_rvec=jnp.stack(er), rel_tvec=jnp.stack(et),
+        weight=jnp.asarray(w, jnp.float32),
+    )
+    return gt, est, edges
+
+
+def test_sim3_fixes_scale_drift_where_se3_cannot():
+    gt, est, edges = _drifted_chain()
+    gt_c = camera_centers(gt.rvecs, gt.tvecs)
+    # Plain ATE WITHOUT scale alignment — scale drift must actually be
+    # corrected, not hidden by the Sim(3) evaluation alignment.
+    ate0 = float(ate_rmse(
+        camera_centers(est.rvecs, est.tvecs), gt_c, with_scale=False
+    ))
+
+    se3 = optimize_pose_graph(est, edges, n_iters=15, damping=1e-4)
+    ate_se3 = float(ate_rmse(
+        camera_centers(se3.rvecs, se3.tvecs), gt_c, with_scale=False
+    ))
+
+    s_edges = Sim3Edges(
+        i=edges.i, j=edges.j, rel_rvec=edges.rel_rvec,
+        rel_tvec=edges.rel_tvec,
+        rel_log_s=jnp.zeros_like(edges.weight), weight=edges.weight,
+    )
+    p0 = se3_to_sim3_poses(est.rvecs, est.tvecs)
+    out = optimize_sim3_graph(p0, s_edges, n_iters=15, damping=1e-4)
+    rv, tv = sim3_to_se3_poses(out)
+    ate_sim3 = float(ate_rmse(
+        camera_centers(rv, tv), gt_c, with_scale=False
+    ))
+
+    assert ate_sim3 < 0.5 * ate_se3, (ate0, ate_se3, ate_sim3)
+    assert ate_sim3 < 0.25 * ate0, (ate0, ate_sim3)
+    # The recovered per-node log-scales must be monotone-ish increasing
+    # (the injected drift grows along the chain).
+    ls = np.asarray(out.log_s)
+    assert ls[0] == 0.0  # gauge
+    assert ls[-1] > ls[1]
+
+
+def test_sim3_identity_on_consistent_chain():
+    """Zero-drift chain: the optimizer must not invent scales."""
+    gt, _, _ = _drifted_chain(per_edge_scale=1.0)
+    n = gt.rvecs.shape[0]
+    src, dst, er, et = [], [], [], []
+    for i in range(n - 1):
+        rr, rt = relative_pose(
+            gt.rvecs[i], gt.tvecs[i], gt.rvecs[i + 1], gt.tvecs[i + 1]
+        )
+        src.append(i); dst.append(i + 1); er.append(rr); et.append(rt)
+    edges = Sim3Edges(
+        i=jnp.asarray(src, jnp.int32), j=jnp.asarray(dst, jnp.int32),
+        rel_rvec=jnp.stack(er), rel_tvec=jnp.stack(et),
+        rel_log_s=jnp.zeros(n - 1), weight=jnp.ones(n - 1),
+    )
+    p0 = se3_to_sim3_poses(gt.rvecs, gt.tvecs)
+    assert float(sim3_rms(p0, edges)) < 1e-5
+    out = optimize_sim3_graph(p0, edges, n_iters=5, damping=1e-4)
+    np.testing.assert_allclose(np.asarray(out.log_s), 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.tvecs), np.asarray(gt.tvecs), atol=1e-4
+    )
+
+
+def test_sim3_jits_and_masked_edges():
+    gt, est, edges = _drifted_chain(n=8)
+    # Pad with invalid edge slots (weight 0) — fixed-capacity semantics.
+    pad = 4
+    s_edges = Sim3Edges(
+        i=jnp.concatenate([edges.i, jnp.zeros(pad, jnp.int32)]),
+        j=jnp.concatenate([edges.j, jnp.ones(pad, jnp.int32)]),
+        rel_rvec=jnp.concatenate([edges.rel_rvec, jnp.zeros((pad, 3))]),
+        rel_tvec=jnp.concatenate([edges.rel_tvec, jnp.zeros((pad, 3))]),
+        rel_log_s=jnp.zeros(edges.i.shape[0] + pad),
+        weight=jnp.concatenate([edges.weight, jnp.zeros(pad)]),
+    )
+    p0 = se3_to_sim3_poses(est.rvecs, est.tvecs)
+    fn = jax.jit(
+        lambda p, e: optimize_sim3_graph(p, e, n_iters=10, damping=1e-4)
+    )
+    out = fn(p0, s_edges)
+    assert bool(jnp.isfinite(out.tvecs).all())
+    assert bool(jnp.isfinite(out.log_s).all())
