@@ -286,13 +286,19 @@ def _band_blocks_np(size: int, sigmas: Sequence[float], bw: int, r: int):
     Block jb holds B[jb*bw - r : jb*bw + bw + r, jb*bw : (jb+1)*bw] (rows
     clipped by zero padding) — every nonzero of column block jb, since
     B's band half-width is <= r. Pure NumPy: sigmas are static.
+
+    ``size`` need not divide ``bw``: the matrix is zero-padded up to the
+    block grid (zero rows/columns multiply the image's zero padding —
+    exact, the round-4 generalization that lets KITTI-shaped 1241 x 376
+    frames take this path).
     """
     import numpy as np
 
-    nb = size // bw
+    nb = -(-size // bw)
+    pad = nb * bw - size
     out = np.zeros((len(sigmas), nb, bw + 2 * r, bw), np.float32)
     for si, sigma in enumerate(sigmas):
-        bp = np.pad(_blur_matrix_np(size, sigma), ((r, r), (0, 0)))
+        bp = np.pad(_blur_matrix_np(size, sigma), ((r, r + pad), (0, pad)))
         for jb in range(nb):
             out[si, jb] = bp[jb * bw : jb * bw + bw + 2 * r,
                              jb * bw : (jb + 1) * bw]
@@ -320,40 +326,59 @@ def blur_bank_banded(
     256^2 banded merely ties dense, hence the dispatch cutoff in
     :func:`blur_bank`). Reference analogue: the fused single-pass filter
     worker of GaussDePyramid-pThread.h:211-254 — this is its MXU form.
+
+    Rectangular and non-64-multiple frames (round 4): the two passes
+    are independent, so H != W just means independent row/col band
+    -block banks, and each axis is zero-padded up to its block grid
+    (zero image rows meet zero matrix columns — exact; at most 63 dead
+    lanes per axis). KITTI-shaped 1241 x 376 frames take this path
+    where round 3 silently fell back to dense (N, N) blur matrices
+    (the reference's square-``len`` assumption,
+    GuassDePyramid.h:106-134, generalized).
     """
     prec = precision
     dt = base.dtype
-    n = base.shape[-1]
+    h, w = base.shape[-2], base.shape[-1]
     s = len(sigmas)
-    nb = n // bw
+    nbh, nbw = -(-h // bw), -(-w // bw)
+    hp, wp = nbh * bw, nbw * bw
     r = max(_band_radius(sg) for sg in sigmas)
-    blk = jnp.asarray(_band_blocks_np(n, sigmas, bw, r)).astype(dt)
-    # Pass 1 (rows): tmp = B^T @ base. Output row block ib reads base rows
-    # [ib*bw - r, ib*bw + bw + r); the zero row padding matches the zero
-    # rows clipped off the band blocks. Reshape (s, nb, bw, n) -> (s, n, n)
-    # is free (row blocks are contiguous).
-    xpad = jnp.pad(base, ((r, r), (0, 0)))
-    win = jnp.stack([xpad[ib * bw : ib * bw + bw + 2 * r] for ib in range(nb)])
+    blk_h = jnp.asarray(_band_blocks_np(h, sigmas, bw, r)).astype(dt)
+    blk_w = (
+        blk_h if w == h
+        else jnp.asarray(_band_blocks_np(w, sigmas, bw, r)).astype(dt)
+    )
+    # Pass 1 (rows): tmp = B_h^T @ base. Output row block ib reads base
+    # rows [ib*bw - r, ib*bw + bw + r); the zero row padding matches the
+    # zero rows clipped off the band blocks. Reshape (s, nbh, bw, w) ->
+    # (s, hp, w) is free (row blocks are contiguous).
+    xpad = jnp.pad(base, ((r, r + (hp - h)), (0, 0)))
+    win = jnp.stack(
+        [xpad[ib * bw : ib * bw + bw + 2 * r] for ib in range(nbh)]
+    )
     tmp = jnp.einsum(
-        "sbhv,bhn->sbvn", blk, win,
+        "sbhv,bhn->sbvn", blk_h, win,
         preferred_element_type=jnp.float32, precision=prec,
-    ).astype(dt).reshape(s, n, n)
-    # Pass 2 (cols): out = tmp @ B, blocked over output column blocks.
-    tpad = jnp.pad(tmp, ((0, 0), (0, 0), (r, r)))
+    ).astype(dt).reshape(s, hp, w)
+    # Pass 2 (cols): out = tmp @ B_w, blocked over output column blocks.
+    tpad = jnp.pad(tmp, ((0, 0), (0, 0), (r, r + (wp - w))))
     winc = jnp.stack(
-        [tpad[:, :, jb * bw : jb * bw + bw + 2 * r] for jb in range(nb)],
+        [tpad[:, :, jb * bw : jb * bw + bw + 2 * r] for jb in range(nbw)],
         axis=1,
     )
     out = jnp.einsum(
-        "sbnh,sbhv->snbv", winc, blk,
+        "sbnh,sbhv->snbv", winc, blk_w,
         preferred_element_type=jnp.float32, precision=prec,
     )
-    return out.reshape(s, n, n).astype(dt)
+    return out.reshape(s, hp, wp)[:, :h, :w].astype(dt)
 
 
 # Banded dispatch cutoff: at 256^2 banded ties dense (0.0086 vs 0.0089 ms)
 # and below it the band window (bw + 2r up to 94) stops being narrower
-# than the image; 512^2 and up is a 2-3x win.
+# than the image; 512^2 and up is a 2-3x win. Rectangular frames take
+# the banded path when the LONG axis clears the cutoff (the short axis
+# ties dense at worst — measured at 256); non-multiple-of-64 sizes are
+# block-padded inside blur_bank_banded.
 _BANDED_MIN_SIZE = 512
 
 
@@ -390,7 +415,7 @@ def blur_bank(
     prec = precision
     dt = base.dtype
     h, w = base.shape[-2], base.shape[-1]
-    if h == w and w >= _BANDED_MIN_SIZE and w % 64 == 0:
+    if max(h, w) >= _BANDED_MIN_SIZE:
         return blur_bank_banded(base, sigmas, precision=prec)
     bank = jnp.stack([blur_matrix(w, s) for s in sigmas]).astype(dt)
     if h != w:

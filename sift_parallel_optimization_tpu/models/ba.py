@@ -910,6 +910,7 @@ def bundle_adjust_lm(
     cg_iters: int = 25,
     cg_tol: float = 1e-8,
     max_obs_per_point: int | None = None,
+    rel_tol: float = 1e-6,
 ) -> BAState:
     """Adaptive Levenberg-Marquardt: accept/reject with lambda up/down.
 
@@ -923,11 +924,13 @@ def bundle_adjust_lm(
     `lax.while_loop` with static shapes so one compiled program serves
     every trajectory of accepts/rejects.
 
-    Cost-neutral when GN already converges: each iteration then costs one
-    GN step plus one residual evaluation (the accept test), and the loop
-    exits early when lambda falls below ``lambda_min`` * heuristics or
-    the iteration budget is spent. Exits when lambda exceeds
-    ``lambda_max`` (stalled — no descent direction at any damping).
+    Exits early when an ACCEPTED step's relative cost decrease falls
+    below ``rel_tol`` (converged — further trial steps would only burn
+    residual evaluations; a REJECTED step does not exit, it raises
+    lambda and retries), when lambda exceeds ``lambda_max`` (stalled —
+    no descent direction at any damping), or when the ``max_iters``
+    budget is spent. ``lambda_min`` only floors the damping on accepted
+    steps.
     """
     solver = resolve_solver(
         state.rvecs.shape[0], state.points.shape[0], solver
@@ -942,11 +945,11 @@ def bundle_adjust_lm(
     c0 = robust_cost(state, obs, K, huber_delta)
 
     def cond(carry):
-        i, _st, lam, _c = carry
-        return (i < max_iters) & (lam < lambda_max)
+        i, _st, lam, _c, done = carry
+        return (i < max_iters) & (lam < lambda_max) & ~done
 
     def body(carry):
-        i, st, lam, c = carry
+        i, st, lam, c, done = carry
         trial = ba_step(
             st, obs, K,
             damping=lam,
@@ -959,6 +962,7 @@ def bundle_adjust_lm(
         )
         c_new = robust_cost(trial, obs, K, huber_delta)
         accept = jnp.isfinite(c_new) & (c_new < c)
+        done = accept & (c - c_new <= rel_tol * jnp.maximum(c, 1e-30))
         st = jax.tree.map(
             lambda a, b: jnp.where(accept, b, a), st, trial
         )
@@ -968,9 +972,11 @@ def bundle_adjust_lm(
             lam * lambda_up,
         )
         c = jnp.where(accept, c_new, c)
-        return i + 1, st, lam, c
+        return i + 1, st, lam, c, done
 
-    _, state, _, _ = lax.while_loop(
-        cond, body, (0, state, jnp.asarray(lambda_init, jnp.float32), c0)
+    _, state, _, _, _ = lax.while_loop(
+        cond, body,
+        (0, state, jnp.asarray(lambda_init, jnp.float32), c0,
+         jnp.asarray(False)),
     )
     return state

@@ -212,8 +212,11 @@ def _block_top2(rows: jax.Array):
     """(N, B) non-negative scores -> per-row (max, argmax, 2nd max,
     2nd argmax), as ONE variadic lax.reduce over the block axis.
 
-    The combiner is the associative top-2 tournament merge, so XLA can
-    fuse the whole table construction into the score producer. Matches
+    The combiner is the associative AND commutative top-2 tournament
+    merge (value ties broken toward the smaller index — XLA's reduce
+    only guarantees results for commutative combiners, so a
+    keep-the-left tie rule would be backend-dependent), so XLA can fuse
+    the whole table construction into the score producer. Matches
     max/argmax + mask-the-argmax/re-reduce exactly (first-index ties).
     """
     lane = jnp.broadcast_to(
@@ -225,14 +228,16 @@ def _block_top2(rows: jax.Array):
     def comb(a, b):
         m1a, a1a, m2a, a2a = a
         m1b, a1b, m2b, a2b = b
-        swap = m1b > m1a
+        swap = (m1b > m1a) | ((m1b == m1a) & (a1b < a1a))
         first = jnp.where(swap, m1b, m1a)
         fidx = jnp.where(swap, a1b, a1a)
         lose_v = jnp.where(swap, m1a, m1b)
         lose_i = jnp.where(swap, a1a, a1b)
         win2_v = jnp.where(swap, m2b, m2a)
         win2_i = jnp.where(swap, a2b, a2a)
-        s_swap = lose_v > win2_v
+        s_swap = (lose_v > win2_v) | (
+            (lose_v == win2_v) & (lose_i < win2_i)
+        )
         second = jnp.where(s_swap, lose_v, win2_v)
         sidx = jnp.where(s_swap, lose_i, win2_i)
         return first, fidx, second, sidx

@@ -507,10 +507,14 @@ def correct_trajectory(
 
     ``sim3`` (default) optimizes over Sim(3) — per-node scale — which is
     what lets the loop constraints actually SHRINK a scale-drifted
-    chain; chain edges measure rel_log_s = 0 and the optimizer
-    distributes the loop's scale discrepancy along them (ORB-SLAM-style
-    essential-graph correction; see models/pose_graph_sim3.py for the
-    measured motivation). ``sim3=False`` keeps the SE(3) pose graph
+    chain. Loop edges (j != i+1) are flagged METRIC: their translation
+    row compares the de-scaled relative translation against the metric
+    PnP measurement, so the optimizer itself recovers the accumulated
+    scale at the loop endpoint and distributes it along the chain's
+    soft scale-prior rows (ORB-SLAM-style essential-graph correction;
+    see models/pose_graph_sim3.py, whose round-3 version passed
+    rel_log_s = 0 on loops with a scale-blind translation row and was
+    provably inert). ``sim3=False`` keeps the SE(3) pose graph
     (models/pose_graph.py, matrix-free CG at large N).
     """
     from sift_parallel_optimization_tpu.models.loop_closure import (
@@ -532,11 +536,15 @@ def correct_trajectory(
             sim3_to_se3_poses,
         )
 
+        metric = (
+            (edges.j != edges.i + 1) & (edges.weight > 0)
+        ).astype(jnp.float32)
         s_edges = Sim3Edges(
             i=edges.i, j=edges.j, rel_rvec=edges.rel_rvec,
             rel_tvec=edges.rel_tvec,
             rel_log_s=jnp.zeros_like(edges.weight),
             weight=edges.weight,
+            metric=metric,
         )
         out = jax.jit(
             lambda p, e: optimize_sim3_graph(

@@ -20,6 +20,7 @@ from sift_parallel_optimization_tpu.models.pose_graph import (
 from sift_parallel_optimization_tpu.models.pose_graph_sim3 import (
     Sim3Edges,
     Sim3Poses,
+    measured_rel_log_s,
     optimize_sim3_graph,
     se3_to_sim3_poses,
     sim3_rms,
@@ -104,10 +105,23 @@ def test_sim3_fixes_scale_drift_where_se3_cannot():
         camera_centers(se3.rvecs, se3.tvecs), gt_c, with_scale=False
     ))
 
+    # The scale-drift estimator must SEE the drift (diagnostic: chain
+    # edges, measured from est, get exactly 0; the loop edge's
+    # path-averaged log-ratio is positive).
+    rel_ls = measured_rel_log_s(
+        est.rvecs, est.tvecs, edges.i, edges.j, edges.rel_tvec
+    )
+    np.testing.assert_allclose(np.asarray(rel_ls[:-1]), 0.0, atol=1e-5)
+    assert float(rel_ls[-1]) > 0.3  # the injected ~0.64 cumulative drift
+    # Loop edge flagged METRIC (same construction as correct_trajectory):
+    # its translation row de-scales t_ij, so the optimizer recovers the
+    # endpoint scale itself.
+    metric = (edges.j != edges.i + 1).astype(jnp.float32)
     s_edges = Sim3Edges(
         i=edges.i, j=edges.j, rel_rvec=edges.rel_rvec,
         rel_tvec=edges.rel_tvec,
         rel_log_s=jnp.zeros_like(edges.weight), weight=edges.weight,
+        metric=metric,
     )
     p0 = se3_to_sim3_poses(est.rvecs, est.tvecs)
     out = optimize_sim3_graph(p0, s_edges, n_iters=15, damping=1e-4)
@@ -139,6 +153,7 @@ def test_sim3_identity_on_consistent_chain():
         i=jnp.asarray(src, jnp.int32), j=jnp.asarray(dst, jnp.int32),
         rel_rvec=jnp.stack(er), rel_tvec=jnp.stack(et),
         rel_log_s=jnp.zeros(n - 1), weight=jnp.ones(n - 1),
+        metric=jnp.zeros(n - 1),
     )
     p0 = se3_to_sim3_poses(gt.rvecs, gt.tvecs)
     assert float(sim3_rms(p0, edges)) < 1e-5
@@ -160,6 +175,11 @@ def test_sim3_jits_and_masked_edges():
         rel_tvec=jnp.concatenate([edges.rel_tvec, jnp.zeros((pad, 3))]),
         rel_log_s=jnp.zeros(edges.i.shape[0] + pad),
         weight=jnp.concatenate([edges.weight, jnp.zeros(pad)]),
+        metric=(
+            jnp.concatenate([edges.j, jnp.ones(pad, jnp.int32)])
+            != jnp.concatenate([edges.i, jnp.zeros(pad, jnp.int32)]) + 1
+        ).astype(jnp.float32)
+        * jnp.concatenate([(edges.weight > 0) * 1.0, jnp.zeros(pad)]),
     )
     p0 = se3_to_sim3_poses(est.rvecs, est.tvecs)
     fn = jax.jit(

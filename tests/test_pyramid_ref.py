@@ -189,6 +189,39 @@ def test_banded_blur_matches_dense(rng):
     )
 
 
+@pytest.mark.parametrize("h,w", [(384, 1280), (376, 1241)])
+def test_banded_blur_rectangular_matches_dense(h, w, rng):
+    # KITTI-aspect frames — including the RAW 1241x376 (neither dim a
+    # 64-multiple; the band path zero-pads to its block grid) — must
+    # take the MXU band path on BOTH axes; round 3 silently fell back
+    # to dense (N, N) blur matrices whenever h != w.
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        _octave_scale_sigmas,
+        blur_bank,
+        blur_bank_banded,
+        blur_matrix,
+    )
+
+    cfg = PyramidConfig(length=w, S=3, mode=ScaleSpaceMode.SIFT)
+    img = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    sigmas = _octave_scale_sigmas(cfg)
+    banded = blur_bank_banded(img, sigmas)
+    bank_w = jnp.stack([blur_matrix(w, s) for s in sigmas])
+    bank_h = jnp.stack([blur_matrix(h, s) for s in sigmas])
+    tmp = jnp.einsum("hw,swv->shv", img, bank_w,
+                     preferred_element_type=jnp.float32)
+    dense = jnp.einsum("shu,shv->suv", bank_h, tmp,
+                       preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(banded), np.asarray(dense), atol=2e-6
+    )
+    # The dispatcher takes the banded path for rectangular frames whose
+    # long axis clears the cutoff.
+    np.testing.assert_array_equal(
+        np.asarray(blur_bank(img, sigmas)), np.asarray(banded)
+    )
+
+
 def test_banded_blur_jits(rng):
     from sift_parallel_optimization_tpu.core.pyramid_ref import (
         sift_gaussian_pyramid as spy,
