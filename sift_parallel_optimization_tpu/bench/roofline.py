@@ -365,6 +365,26 @@ def ba_cg_ici_bytes(
     return gn_iters * (per_gn + cg_iters * per_matvec)
 
 
+def ring_matching_ici_bytes(
+    n_frames: int, kp_per_frame: int, n_dev: int,
+    desc_dtype_bytes: int = 4,
+) -> float:
+    """Per-device ICI bytes of one ring pairwise-matching sweep
+    (parallel/matching.ring_pairwise_match_counts).
+
+    Each device forwards its traveling descriptor block + valid mask to
+    its ring neighbor on every one of the n_dev ring steps (the final
+    hop returns each block home; the useful hops are n_dev - 1 — same
+    per-link bytes as a ring all-gather of the descriptor set). Compute
+    per step is (F/D)^2 * K^2 * 128 MACs, so the schedule goes compute
+    -bound as K grows: at F=64, K=512, D=8 the sweep moves ~33 MB/device
+    against ~17 GFLOP/device of MXU work.
+    """
+    f_loc = -(-n_frames // n_dev)
+    block = f_loc * kp_per_frame * (128.0 * desc_dtype_bytes + 1.0)
+    return n_dev * block
+
+
 def projected_efficiency(
     single_chip_ms: float, n: int, ici_bytes_per_dev: float,
     peaks: Peaks = TPU_V5E,

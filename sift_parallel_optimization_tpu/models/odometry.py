@@ -156,6 +156,72 @@ def propose_archive_loop(
     return ArchiveLoop(rvec=cam.rvec, tvec=cam.tvec, n_inliers=n)
 
 
+class LoopBuffer(NamedTuple):
+    """Device-side accepted-loop accumulator (round-4 de-sync).
+
+    Round 3 read ``int(prop.n_inliers)`` back to the host EVERY frame to
+    gate loop acceptance — a per-frame device round trip (~60 ms through
+    the axon relay, dwarfing the ~10 ms of tracking compute). Here
+    acceptance (inlier threshold + cooldown + capacity) is computed on
+    device and accepted constraints land in this fixed-capacity buffer;
+    the host reads it back ONCE at end of run. ``n_dropped`` counts
+    would-be-accepted proposals lost to a full buffer so saturation is
+    LOGGED instead of silently dropping closures.
+    """
+
+    rvecs: jax.Array      # (cap, 3) accepted PnP poses
+    tvecs: jax.Array      # (cap, 3)
+    frames: jax.Array     # (cap,) i32 global frame ids
+    inliers: jax.Array    # (cap,) i32
+    count: jax.Array      # () i32 accepted so far
+    last_loop: jax.Array  # () i32 frame id of last acceptance (cooldown)
+    n_dropped: jax.Array  # () i32 accepted-quality proposals dropped
+
+
+def empty_loop_buffer(capacity: int) -> LoopBuffer:
+    return LoopBuffer(
+        rvecs=jnp.zeros((capacity, 3), jnp.float32),
+        tvecs=jnp.zeros((capacity, 3), jnp.float32),
+        frames=jnp.zeros(capacity, jnp.int32),
+        inliers=jnp.zeros(capacity, jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        last_loop=jnp.full((), -(2**30), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+def accept_loop_proposal(
+    buf: LoopBuffer,
+    prop: ArchiveLoop,
+    frame_i,
+    min_inliers: int,
+    cooldown: int,
+) -> LoopBuffer:
+    """Masked device-side acceptance: no host read, one executable."""
+    cap = buf.frames.shape[0]
+    fi = jnp.asarray(frame_i, jnp.int32)
+    good = (prop.n_inliers >= min_inliers) & (
+        fi - buf.last_loop > cooldown
+    )
+    ok = good & (buf.count < cap)
+    idx = jnp.minimum(buf.count, cap - 1)
+
+    def put(arr, val):
+        return arr.at[idx].set(
+            jnp.where(ok, jnp.asarray(val, arr.dtype), arr[idx])
+        )
+
+    return LoopBuffer(
+        rvecs=put(buf.rvecs, prop.rvec),
+        tvecs=put(buf.tvecs, prop.tvec),
+        frames=put(buf.frames, fi),
+        inliers=put(buf.inliers, prop.n_inliers),
+        count=buf.count + ok.astype(jnp.int32),
+        last_loop=jnp.where(ok, fi, buf.last_loop),
+        n_dropped=buf.n_dropped + (good & ~ok).astype(jnp.int32),
+    )
+
+
 class Sim3(NamedTuple):
     """World similarity X_arch = s * (r @ X_win) + t (drift correction
     mapping the window's drifted frame onto the archive's world frame)."""
@@ -340,6 +406,8 @@ def run_odometry(
     archive_size: int | None = None,
     pgo_iters: int = 15,
     return_info: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Constant-memory odometry over a frame sequence of ANY length.
 
@@ -366,16 +434,34 @@ def run_odometry(
 
     ``loop_min_gap`` defaults to ``window + 1`` (an archived landmark is
     at least ``window`` frames old by construction; +1 rejects border
-    cases). ``loop_cooldown`` skips proposals for that many frames after
-    an acceptance, so one revisit yields one constraint, not a burst.
-    ``archive_size`` (landmark slots) defaults to 64 eviction blocks.
+    cases). ``loop_cooldown`` suppresses acceptances for that many
+    frames after one, so one revisit yields one constraint, not a
+    burst. ``archive_size`` (landmark slots) defaults to 64 eviction
+    blocks. Loop acceptance is DEVICE-SIDE (:class:`LoopBuffer`): the
+    steady-state tracking loop performs zero per-frame host reads; the
+    buffer is fetched once at end of run, and a saturated buffer
+    (``max_loops`` hit while closures were still being proposed) is
+    logged instead of silently dropping them.
+
+    With ``checkpoint_dir`` set, the full resumable state — window map,
+    used-mask, frozen poses, landmark archive, loop buffer — is saved
+    every ``checkpoint_every`` frames and the run RESUMES from the
+    latest checkpoint if one exists (the failure-recovery subsystem the
+    ``run_sfm`` driver already had; the config fingerprint refuses a
+    checkpoint written under different capacities). The fingerprint
+    deliberately excludes the frame COUNT: a crash-resume may continue
+    the same sequence to any length — which is the point of a driver
+    whose memory is O(window).
     """
     n = len(features)
     W = window
     if W < 3:
         raise ValueError("window must be >= 3 (bootstrap pair + PnP frame)")
     m = empty_map(W, pts_per_frame, max_loops=0)
-    keys = jax.random.split(key, n)
+    # Per-frame keys via fold_in (NOT split(key, n)): the stream for
+    # frame i must not depend on the sequence length, so a checkpointed
+    # run can resume and continue to ANY length bit-identically.
+    keys = [jax.random.fold_in(key, i) for i in range(n)]
 
     init_fn = jax.jit(
         functools.partial(init_two_view, pts_per_frame=pts_per_frame)
@@ -404,27 +490,89 @@ def run_odometry(
     frozen_t: list[jax.Array] = []
 
     arch = None
-    loop_frames: list[int] = []
-    loop_poses: list = []
-    last_loop = -(10**9)
+    buf = None
     if loop_closure:
         if loop_min_gap is None:
             loop_min_gap = W + 1
         if archive_size is None:
             archive_size = 64 * pts_per_frame
         arch = empty_archive(archive_size)
+        buf = empty_loop_buffer(max_loops)
         arch_fn = jax.jit(
             functools.partial(
                 archive_evicted_block, pts_per_frame=pts_per_frame
             )
         )
-        loop_fn = jax.jit(
-            functools.partial(propose_archive_loop, min_gap=loop_min_gap)
-        )
-        loop_keys = jax.random.split(jax.random.fold_in(key, 11), n)
 
-    m, used = init_fn(keys[0], features[0], features[1], K, m)
-    for i in range(2, n):
+        def _loop_step(k, feats_i, a, fi, K_, b):
+            # Propose + accept fused: ZERO host reads per frame (the
+            # round-3 int(prop.n_inliers) gate cost one device round
+            # trip per frame — ~60 ms through the axon relay, 6x the
+            # tracking compute itself).
+            prop = propose_archive_loop(
+                k, feats_i, a, fi, K_, min_gap=loop_min_gap
+            )
+            return accept_loop_proposal(
+                b, prop, fi, loop_min_inliers, loop_cooldown
+            )
+
+        loop_fn = jax.jit(_loop_step)
+        loop_base = jax.random.fold_in(key, 11)
+        loop_keys = [
+            jax.random.fold_in(loop_base, i) for i in range(n)
+        ]
+
+    # --- checkpoint/resume (mirrors run_sfm; utils/checkpoint.py) ----
+    ckpt = None
+    start = 2
+    if checkpoint_dir is not None:
+        from sift_parallel_optimization_tpu.utils import (
+            checkpoint as ckpt,
+        )
+
+        ckpt_meta = {
+            "window": W,
+            "pts_per_frame": pts_per_frame,
+            "loop_closure": bool(loop_closure),
+            "archive_size": int(archive_size or 0),
+            "max_loops": max_loops,
+            "desc_capacity": int(features[0].descriptors.shape[0]),
+        }
+
+        def _ckpt_like(step: int) -> dict:
+            # Frozen-pose count is a function of the step, so the
+            # restore template is exact without fingerprinting n.
+            F = max(0, step - W + 1)
+            like = {
+                "m": empty_map(W, pts_per_frame, max_loops=0),
+                "used": jnp.zeros(
+                    features[0].keypoints.valid.shape[0], bool
+                ),
+            }
+            if F > 0:
+                like["frozen_r"] = jnp.zeros((F, 3), jnp.float32)
+                like["frozen_t"] = jnp.zeros((F, 3), jnp.float32)
+            if loop_closure:
+                like["arch"] = empty_archive(archive_size)
+                like["buf"] = empty_loop_buffer(max_loops)
+            return like
+
+        step = ckpt.latest_step(checkpoint_dir)
+        if step is not None:
+            state, step = ckpt.load_pytree(
+                checkpoint_dir, _ckpt_like(step), meta=ckpt_meta
+            )
+            m, used = state["m"], state["used"]
+            F = max(0, step - W + 1)
+            frozen_r = [state["frozen_r"][k] for k in range(F)]
+            frozen_t = [state["frozen_t"][k] for k in range(F)]
+            if loop_closure:
+                arch, buf = state["arch"], state["buf"]
+            start = step + 1
+
+    if start == 2:
+        m, used = init_fn(keys[0], features[0], features[1], K, m)
+    for i in range(start, n):
         if i >= W:
             # Slot 0 (frame i - W) leaves the window; its pose is final.
             frozen_r.append(m.rvecs[0])
@@ -444,32 +592,68 @@ def run_odometry(
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_fn(m.ba_state(), m.obs, K)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
-        if (
-            loop_closure
-            and i > W  # archive non-empty (first eviction at i == W)
-            and i - last_loop > loop_cooldown
-            and len(loop_frames) < max_loops
-        ):
-            prop = loop_fn(
+        if loop_closure and i > W:
+            # Archive non-empty (first eviction at i == W). Inlier
+            # threshold, cooldown, and capacity are all applied on
+            # device (accept_loop_proposal) — no sync.
+            buf = loop_fn(
                 loop_keys[i], features[i], arch,
-                jnp.asarray(i, jnp.int32), K,
+                jnp.asarray(i, jnp.int32), K, buf,
             )
-            if int(prop.n_inliers) >= loop_min_inliers:
-                loop_frames.append(i)
-                loop_poses.append(prop)
-                last_loop = i
-                # NOTE — mid-run re-anchoring was built and MEASURED
-                # NEGATIVE in round 3 (see Sim3/apply_sim3_map below,
-                # kept as tested utilities): snapping the window onto
-                # the archive frame at each acceptance degraded the
-                # 18-frame revisit gate (2.4% windowed-only -> 5.7%
-                # loop-closed with the snap, vs ~1-3% with the
-                # end-of-run PGO alone) in both the
-                # transform-everything and window-only variants — the
-                # injected snap perturbs tracking more than the drift
-                # it removes at these sequence lengths. Correction
-                # therefore stays END-OF-RUN: one Sim(3) pose-graph
-                # pass over the full trajectory (correct_trajectory).
+            # NOTE — mid-run re-anchoring was built and MEASURED
+            # NEGATIVE in round 3 (see Sim3/apply_sim3_map below, kept
+            # as tested utilities): snapping the window onto the
+            # archive frame at each acceptance degraded the 18-frame
+            # revisit gate (2.4% windowed-only -> 5.7% loop-closed
+            # with the snap, vs ~1-3% with the end-of-run PGO alone)
+            # in both the transform-everything and window-only
+            # variants — the injected snap perturbs tracking more than
+            # the drift it removes at these sequence lengths.
+            # Correction therefore stays END-OF-RUN: one Sim(3) pose
+            # -graph pass over the full trajectory (correct_trajectory).
+        if (
+            ckpt is not None
+            and checkpoint_every
+            and i % checkpoint_every == 0
+        ):
+            state = {"m": m, "used": used}
+            if frozen_r:
+                state["frozen_r"] = jnp.stack(frozen_r)
+                state["frozen_t"] = jnp.stack(frozen_t)
+            if loop_closure:
+                state["arch"] = arch
+                state["buf"] = buf
+            ckpt.save_pytree(
+                checkpoint_dir, state, step=i, meta=ckpt_meta
+            )
+
+    # ONE host read drains the device-side loop buffer.
+    loop_frames: list[int] = []
+    loop_poses: list[ArchiveLoop] = []
+    n_dropped = 0
+    if loop_closure:
+        import numpy as np
+
+        cnt = int(buf.count)
+        n_dropped = int(buf.n_dropped)
+        frames_np = np.asarray(buf.frames[:cnt])
+        for k in range(cnt):
+            loop_frames.append(int(frames_np[k]))
+            loop_poses.append(
+                ArchiveLoop(
+                    rvec=buf.rvecs[k], tvec=buf.tvecs[k],
+                    n_inliers=buf.inliers[k],
+                )
+            )
+        if n_dropped > 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "loop buffer saturated: %d accepted-quality closures "
+                "dropped (max_loops=%d) — raise max_loops for this "
+                "sequence length",
+                n_dropped, max_loops,
+            )
 
     in_window = min(n, W)
     rvecs = jnp.stack(frozen_r + [m.rvecs[s] for s in range(in_window)])
@@ -484,6 +668,7 @@ def run_odometry(
         info = {
             "loop_frames": list(loop_frames),
             "loop_inliers": [int(p.n_inliers) for p in loop_poses],
+            "loops_dropped": n_dropped,
         }
         return traj, m, info
     return traj, m

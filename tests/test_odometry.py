@@ -271,3 +271,53 @@ class TestWindowedLoopClosure:
         assert ates[True] * 1.8 < ates[False], (
             f"loop closure {ates[True]} vs windowed-only {ates[False]}"
         )
+
+    @pytest.mark.slow
+    def test_checkpoint_resume_matches_uninterrupted(
+        self, sequence, tmp_path
+    ):
+        """Kill the run at ~3/4 and resume: the trajectory must match
+        the uninterrupted run (failure recovery for the driver whose
+        whole point is sequences of any length). The archive ring, loop
+        buffer, frozen poses, and used-mask all ride the checkpoint."""
+        from sift_parallel_optimization_tpu.utils import checkpoint as ck
+
+        feats, K, gt_rvecs, gt_tvecs = sequence
+        kw = dict(window=self.window, loop_closure=True)
+        full, _ = run_odometry(jax.random.key(1), feats, K, **kw)
+
+        d = str(tmp_path / "odo_ck")
+        k = (3 * self.n_frames) // 4
+        # "Crash" at frame k: the interrupted run only saw a prefix.
+        run_odometry(
+            jax.random.key(1), feats[:k], K,
+            checkpoint_dir=d, checkpoint_every=2, **kw,
+        )
+        step = ck.latest_step(d)
+        assert step is not None and step < self.n_frames - 1
+        resumed, m2 = run_odometry(
+            jax.random.key(1), feats, K,
+            checkpoint_dir=d, checkpoint_every=2, **kw,
+        )
+        assert m2.rvecs.shape[0] == self.window
+        np.testing.assert_allclose(
+            np.asarray(resumed.rvecs), np.asarray(full.rvecs), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.tvecs), np.asarray(full.tvecs), atol=1e-4
+        )
+
+    def test_checkpoint_fingerprint_refuses_mismatch(
+        self, sequence, tmp_path
+    ):
+        feats, K, _, _ = sequence
+        d = str(tmp_path / "odo_ck_fp")
+        run_odometry(
+            jax.random.key(1), feats[:8], K, window=self.window,
+            loop_closure=True, checkpoint_dir=d, checkpoint_every=2,
+        )
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_odometry(
+                jax.random.key(1), feats[:10], K, window=self.window + 2,
+                loop_closure=True, checkpoint_dir=d, checkpoint_every=2,
+            )
