@@ -329,17 +329,24 @@ def assemble_normal_blocks(
         keep = (obs.cam_idx != 0)[:, None, None].astype(jc.dtype)
         jc = jc * keep
 
-    hcc = jax.ops.segment_sum(
-        jnp.einsum("mik,mil->mkl", jc, jc), obs.cam_idx, C
+    # One-hot matmul aggregation instead of segment_sum: TPU lowers
+    # segment_sum to a sort-based scatter (0.112 ms for these four sums
+    # at M=2304 on v5e) while the same reductions as (C, M) / (P, M)
+    # one-hot matmuls hit the MXU (0.023 ms). The one-hot operands are
+    # exact {0, 1} f32, so values match up to f32 summation order.
+    oh_c = jax.nn.one_hot(obs.cam_idx, C, dtype=jc.dtype)   # (M, C)
+    oh_p = jax.nn.one_hot(obs.pt_idx, P, dtype=jp.dtype)    # (M, P)
+    hcc = jnp.einsum(
+        "mc,mkl->ckl", oh_c, jnp.einsum("mik,mil->mkl", jc, jc)
     )                                               # (C, 6, 6)
-    hpp = jax.ops.segment_sum(
-        jnp.einsum("mik,mil->mkl", jp, jp), obs.pt_idx, P
+    hpp = jnp.einsum(
+        "mp,mkl->pkl", oh_p, jnp.einsum("mik,mil->mkl", jp, jp)
     )                                               # (P, 3, 3)
-    bc = -jax.ops.segment_sum(
-        jnp.einsum("mik,mi->mk", jc, r), obs.cam_idx, C
+    bc = -jnp.einsum(
+        "mc,mk->ck", oh_c, jnp.einsum("mik,mi->mk", jc, r)
     )                                               # (C, 6)
-    bp = -jax.ops.segment_sum(
-        jnp.einsum("mik,mi->mk", jp, r), obs.pt_idx, P
+    bp = -jnp.einsum(
+        "mp,mk->pk", oh_p, jnp.einsum("mik,mi->mk", jp, r)
     )                                               # (P, 3)
 
     # Dense camera-point cross blocks W[c, p] = sum_obs Jc^T Jp, assembled
@@ -376,7 +383,11 @@ def solve_schur(
     hcc = damp(hcc)
     hpp = damp(hpp)
 
-    hpp_inv = jnp.linalg.inv(hpp)                   # (P, 3, 3) batched
+    # Closed-form batched 3x3 inverse: the LU path cost 0.67 ms for 768
+    # blocks on v5e — 60% of the whole dense window-BA iteration — vs
+    # 0.007 ms for the adjugate (_inv3x3; same blocks the CG
+    # preconditioner already inverts this way).
+    hpp_inv = _inv3x3(hpp)                          # (P, 3, 3) batched
     y = jnp.einsum("cpik,pkl->cpil", w, hpp_inv)    # (C, P, 6, 3)
 
     # Reduced camera system: S = Hcc - Y W^T, b = bc - Y bp.

@@ -36,6 +36,102 @@ def _f32_precision(fn):
 
 
 # ---------------------------------------------------------------------------
+# Fast batched small-matrix primitives (round 4)
+#
+# TPU lowers jnp.linalg.svd of tiny matrices to an ITERATIVE one-sided
+# Jacobi that unrolls into an enormous scalar-heavy program: 128 vmapped
+# 12x12 SVDs measured 4.4 ms on v5e while 5 batched 6x6 linalg.solve GN
+# steps over 768 points cost 0.018 ms. The RANSAC hypothesis path and
+# DLT triangulation only need (a) the smallest eigenvector of a tiny PSD
+# normal matrix and (b) the nearest rotation to a near-orthogonal 3x3 —
+# both reachable with batched LU solves and closed-form 3x3 algebra.
+# ---------------------------------------------------------------------------
+
+
+def smallest_eigvec(ata: jax.Array, iters: int = 3) -> jax.Array:
+    """(..., n, n) PSD -> (..., n) unit eigenvector of the smallest
+    eigenvalue, via shifted inverse iteration (batched LU solves).
+
+    The matrix is first DIAGONALLY EQUILIBRATED (D a D with
+    D = diag(ata)^-1/2): raw DLT normal matrices mix pixel^2 and unit^2
+    scales across columns (condition ~1e10, beyond f32 LU), while the
+    equilibrated form is near-unit-diagonal — and an exact null vector
+    survives equilibration exactly (A D y = 0 <=> A (D y) = 0). For
+    noisy inputs this finds the minimizer of |A D y|/|y|, a Hartley
+    -style rescaled least squares — a legitimate (often better
+    -conditioned) variant of the SVD's minimizer; RANSAC scoring /
+    downstream gates judge the result either way.
+
+    The shift (1e-6 on the unit diagonal) keeps the solve nonsingular
+    even for degenerate inputs (a RANSAC sample of coplanar points),
+    where the result is an arbitrary near-null vector — finite junk
+    that scores zero inliers, exactly what the SVD produced.
+    Convergence per iteration is ~(lam_min + shift)/(lam_2 + shift):
+    essentially one iteration when a clean null vector exists; a few
+    cover noisy minimal samples.
+    """
+    n = ata.shape[-1]
+    diag = jnp.diagonal(ata, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    eq = ata * d[..., :, None] * d[..., None, :]
+    shifted = eq + 1e-6 * jnp.eye(n, dtype=ata.dtype)
+    # Deterministic generic start vector (not axis-aligned, so it is
+    # never exactly orthogonal to the null vector of real inputs).
+    v0 = jnp.sin(jnp.arange(1, n + 1, dtype=ata.dtype))
+    v = jnp.broadcast_to(v0, ata.shape[:-2] + (n,))
+    for _ in range(iters):
+        v = jnp.linalg.solve(shifted, v[..., None])[..., 0]
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+    v = v * d
+    return v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+    )
+
+
+def _inv3(m: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], -1),
+            jnp.stack([D, E, F], -1),
+            jnp.stack([G, H, I], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
+def polar_rotation(m: jax.Array, iters: int = 6) -> jax.Array:
+    """Nearest rotation (orthogonal polar factor) of (..., 3, 3) with
+    det > 0, via the Newton iteration X <- (X + X^-T) / 2 with
+    determinant scaling — closed-form 3x3 algebra only, replacing the
+    Procrustes SVD on the RANSAC hypothesis path. Callers must
+    pre-flip the sign so det(m) > 0 (pnp_dlt already does)."""
+    x = m
+    for _ in range(iters):
+        det = jnp.abs(jnp.linalg.det(x))
+        x = x / jnp.cbrt(jnp.maximum(det, 1e-30))[..., None, None]
+        x = 0.5 * (x + jnp.swapaxes(_inv3(x), -1, -2))
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Rotations (axis-angle <-> matrix)
 # ---------------------------------------------------------------------------
 
@@ -169,8 +265,10 @@ def triangulate(
                 u2[1] * P2[2] - P2[1],
             ]
         )
-        _, _, vt = jnp.linalg.svd(a)
-        x = vt[-1]
+        # Null vector via the 4x4 normal matrix + inverse iteration —
+        # a batched-LU path ~25x cheaper on TPU than the per-point SVD
+        # (see smallest_eigvec).
+        x = smallest_eigvec(a.T @ a)
         return x[:3] / jnp.where(jnp.abs(x[3]) > 1e-12, x[3], 1e-12)
 
     return jax.vmap(one)(p1, p2)
@@ -251,8 +349,12 @@ def pnp_dlt(
     a = jnp.concatenate([rows_u, rows_v], 0)                # (2N, 12)
     ww = jnp.concatenate([w, w], 0)
     ata = jnp.einsum("ki,k,kj->ij", a, ww, a)
-    _, _, vt = jnp.linalg.svd(ata)
-    P = vt[-1].reshape(3, 4)
+    # Null vector + nearest rotation WITHOUT tiny SVDs: 128 vmapped
+    # 12x12 SVDs cost 4.4 ms on v5e (iterative Jacobi unrolled per
+    # hypothesis) and dominated the whole tracking step; inverse
+    # iteration + Newton polar use only batched solves / closed-form
+    # 3x3 algebra (~same hypothesis, RANSAC scoring decides anyway).
+    P = smallest_eigvec(ata).reshape(3, 4)
     M = jnp.linalg.solve(K, P[:, :3])
     # The null vector's sign is arbitrary: normalize so M = s*R with s > 0
     # (det(M) = s^3), which also settles cheirality for points in front.
@@ -260,12 +362,8 @@ def pnp_dlt(
     sgn = jnp.where(sgn == 0, 1.0, sgn)
     P = P * sgn
     M = M * sgn
-    # Procrustes: nearest rotation to M; scale from the singular values.
-    um, sm, vmt = jnp.linalg.svd(M)
-    d = jnp.sign(jnp.linalg.det(um) * jnp.linalg.det(vmt))
-    diag = jnp.stack([jnp.ones(()), jnp.ones(()), d])
-    R = (um * diag[None, :]) @ vmt
-    scale = jnp.sum(sm * diag) / 3.0
+    R = polar_rotation(M)
+    scale = jnp.trace(R.T @ M) / 3.0
     t = jnp.linalg.solve(K, P[:, 3]) / jnp.where(
         jnp.abs(scale) > 1e-12, scale, 1e-12
     )

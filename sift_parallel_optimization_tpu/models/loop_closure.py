@@ -118,15 +118,24 @@ def build_pose_graph_edges(
     loop_poses: list[Camera],
     capacity: int | None = None,
     loop_weight: float = 4.0,
+    loop_sources: list[int] | None = None,
 ) -> PoseGraphEdges:
-    """Odometry chain from the current estimates + loop edges at node 0.
+    """Odometry chain from the current estimates + loop edges.
 
-    The PnP loop pose is absolute in the map frame (camera 0's frame), so
-    each accepted loop becomes an edge (0 -> i) whose measured relative
-    transform is the PnP pose composed with camera 0's pose.
+    Each accepted loop becomes an edge (loop_sources[k] -> loop_frames[k])
+    whose measurement is the PnP pose composed with the source node's
+    estimate. ``loop_sources`` defaults to node 0 for every loop (the
+    PnP pose is absolute in camera-0's frame); the odometry driver
+    passes each loop's median inlier BIRTH frame instead — the archived
+    landmarks carry the trajectory error accumulated up to their birth,
+    and a (birth -> f) relative edge cancels that common error to first
+    order where a 0-anchored absolute edge bakes it in (see
+    models/odometry.propose_archive_loop, round-4 120-frame measurement).
     """
     if capacity is None:
         capacity = (n_frames - 1) + max(len(loop_frames), 1)
+    if loop_sources is None:
+        loop_sources = [0] * len(loop_frames)
     src, dst, rel_r, rel_t, w = [], [], [], [], []
     for i in range(n_frames - 1):
         rr, rt = relative_pose(
@@ -137,9 +146,12 @@ def build_pose_graph_edges(
         rel_r.append(rr)
         rel_t.append(rt)
         w.append(1.0)
-    for fi, cam in zip(loop_frames, loop_poses):
-        rr, rt = relative_pose(m.rvecs[0], m.tvecs[0], cam.rvec, cam.tvec)
-        src.append(0)
+    for fi, cam, sb in zip(loop_frames, loop_poses, loop_sources):
+        sb = int(sb)
+        rr, rt = relative_pose(
+            m.rvecs[sb], m.tvecs[sb], cam.rvec, cam.tvec
+        )
+        src.append(sb)
         dst.append(int(fi))
         rel_r.append(rr)
         rel_t.append(rt)

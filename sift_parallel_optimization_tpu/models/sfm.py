@@ -210,12 +210,17 @@ def ransac_pnp(
 
     idx = _sample_indices(key, mask, n_hypotheses, 6)   # (N, 6)
 
-    def solve(i):
-        w = jnp.zeros(pts3d.shape[0]).at[i].set(1.0)
-        cam = pnp_dlt(pts3d, pts2d, K, w)
+    # Gather each minimal sample's 6 points instead of one-hot weighting
+    # the full set: the DLT design is (12, 12) per hypothesis, not
+    # (2*P, 12) — same solution up to f32 summation order.
+    p3 = pts3d[idx]                                      # (N, 6, 3)
+    p2 = pts2d[idx]                                      # (N, 6, 2)
+
+    def solve(p3i, p2i):
+        cam = pnp_dlt(p3i, p2i, K, jnp.ones(6))
         return jnp.concatenate([cam.rvec, cam.tvec])
 
-    thetas = jax.vmap(solve)(idx)                        # (N, 6)
+    thetas = jax.vmap(solve)(p3, p2)                     # (N, 6)
     ok = jnp.all(jnp.isfinite(thetas), axis=-1)
     thetas = jnp.where(ok[:, None], thetas, 0.0)
 

@@ -176,7 +176,9 @@ def distributed_ba_step_cg(
             hcc = _damp_blocks(hcc, damping)
             if fix_first_cam:
                 hcc = hcc.at[0].set(jnp.eye(6))
-            hpp_inv_shard = jnp.linalg.inv(_damp_blocks(hpp_shard, damping))
+            from sift_parallel_optimization_tpu.models.ba import _inv3x3
+
+            hpp_inv_shard = _inv3x3(_damp_blocks(hpp_shard, damping))
 
             def wt_shard(x):
                 """W^T x -> owner's (p_pad/n, 3) landmark shard."""

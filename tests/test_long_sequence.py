@@ -1,0 +1,117 @@
+"""At-length evidence for the "sequences of ANY length" claim.
+
+Round 3 claimed long-sequence capability with an 18-frame gate, a
+unit-tested ring wrap, and a docstring about a 40-frame two-cycle
+measurement. This file measures the claim (the discipline of the
+reference's repeat-until-time harness, /root/reference/main.cpp:60-74):
+
+* 120-frame THREE-cycle revisit: the archive ring wraps in anger (the
+  sequence evicts ~14x the ring's block capacity), >= 3 loops are
+  accepted by the device-side buffer, the Sim(3) PGO corrects the
+  full trajectory to <= 5% of span and >= 1.8x better than windowed
+  -only, and the window map's capacities stay O(window).
+* 40-frame two-cycle regression: the configuration the Sim(3) module's
+  docstring cites (models/odometry.py landmark_sim3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_parallel_optimization_tpu.models.odometry import run_odometry
+
+
+def _render_cycles(size, n_frames, period):
+    """Triangle-wave revisit trajectory: out to apex at period/2, back,
+    repeat — every cycle after the first revisits archived places."""
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native renderer unavailable")
+    focal = float(size)
+    cfg = sift_config(size)
+    K = jnp.array(
+        [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+        jnp.float32,
+    )
+    half = period // 2
+    ks = [
+        (i % period) if (i % period) <= half else period - (i % period)
+        for i in range(n_frames)
+    ]
+    gt_rvecs = np.stack(
+        [[0.0, 0.025 * k, 0.002 * k] for k in ks]
+    ).astype(np.float32)
+    gt_tvecs = np.stack(
+        [[-0.25 * k, 0.012 * k, 0.035 * k] for k in ks]
+    ).astype(np.float32)
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+    )
+    feats = [
+        fe(jnp.asarray(native.render_frame(
+            size, gt_rvecs[i], gt_tvecs[i], focal, seed=3)))
+        for i in range(n_frames)
+    ]
+    return feats, K, gt_rvecs, gt_tvecs
+
+
+def _ates(feats, K, gt_rvecs, gt_tvecs, window, **loop_kw):
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        ate_rmse,
+        camera_centers,
+    )
+
+    gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+    span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+    out = {}
+    for lc in (False, True):
+        traj, m, info = run_odometry(
+            jax.random.key(1), feats, K, window=window,
+            loop_closure=lc, return_info=True, **loop_kw,
+        )
+        est = camera_centers(traj.rvecs, traj.tvecs)
+        out[lc] = float(ate_rmse(est, gt))
+    return out, span, m, info
+
+
+@pytest.mark.slow
+def test_120_frame_three_cycle_revisit():
+    n, period, window = 120, 40, 6
+    feats, K, gt_rvecs, gt_tvecs = _render_cycles(256, n, period)
+    # The default 64-block archive wraps ~1.8x over 114 evictions — the
+    # ring is exercised in anger while still REMEMBERING a full cycle
+    # (an 8-block ring only recalls the last 8 evicted frames and
+    # cannot match the previous cycle at period 40 — measured 5.9% of
+    # span, worse than windowed-only).
+    ates, span, m, info = _ates(
+        feats, K, gt_rvecs, gt_tvecs, window, max_loops=32,
+    )
+    # O(window) memory: capacities track window, never n.
+    assert m.rvecs.shape[0] == window
+    assert m.points.shape[0] == window * 128
+    assert m.obs.uv.shape[0] == 3 * window * 128
+    # >= 3 loops accepted across the revisit cycles, none dropped.
+    assert len(info["loop_frames"]) >= 3, info
+    assert info["loops_dropped"] == 0, info
+    # Accuracy: global 5% gate + >= 1.8x improvement over windowed-only.
+    assert ates[True] < 0.05 * span, (ates, span)
+    assert ates[True] * 1.8 < ates[False], (ates, span)
+
+
+@pytest.mark.slow
+def test_40_frame_two_cycle_regression():
+    """The configuration models/odometry.py's Sim(3) docstring cites."""
+    n, period, window = 40, 20, 6
+    feats, K, gt_rvecs, gt_tvecs = _render_cycles(256, n, period)
+    ates, span, m, info = _ates(
+        feats, K, gt_rvecs, gt_tvecs, window, max_loops=12,
+    )
+    assert len(info["loop_frames"]) >= 2, info
+    assert ates[True] < 0.05 * span, (ates, span)
+    assert ates[True] * 1.5 < ates[False], (ates, span)

@@ -116,6 +116,42 @@ def test_archive_ring_writes_and_wraps():
     np.testing.assert_array_equal(np.asarray(arch.birth[B : 2 * B]), 11)
 
 
+def test_loop_buffer_accept_semantics():
+    """Device-side acceptance: threshold, cooldown, capacity, and the
+    dropped-counter all behave like the round-3 host-side gate did."""
+    from sift_parallel_optimization_tpu.models.odometry import (
+        ArchiveLoop,
+        accept_loop_proposal,
+        empty_loop_buffer,
+    )
+
+    def prop(n, birth=3):
+        return ArchiveLoop(
+            rvec=jnp.ones(3), tvec=jnp.full(3, 2.0),
+            n_inliers=jnp.asarray(n, jnp.int32),
+            birth=jnp.asarray(birth, jnp.int32),
+        )
+
+    buf = empty_loop_buffer(2)
+    step = jax.jit(
+        lambda b, p, i: accept_loop_proposal(
+            b, p, i, min_inliers=25, cooldown=3
+        )
+    )
+    buf = step(buf, prop(10), 10)       # below threshold -> rejected
+    assert int(buf.count) == 0 and int(buf.n_dropped) == 0
+    buf = step(buf, prop(30), 11)       # accepted
+    assert int(buf.count) == 1 and int(buf.frames[0]) == 11
+    assert int(buf.births[0]) == 3
+    buf = step(buf, prop(40), 13)       # cooldown (13-11 <= 3) -> rejected
+    assert int(buf.count) == 1 and int(buf.n_dropped) == 0
+    buf = step(buf, prop(40), 15)       # accepted (15-11 > 3)
+    assert int(buf.count) == 2
+    buf = step(buf, prop(50), 19)       # full -> counted as dropped
+    assert int(buf.count) == 2 and int(buf.n_dropped) == 1
+    np.testing.assert_array_equal(np.asarray(buf.frames), [11, 15])
+
+
 class TestRenderedOdometry:
     """End-to-end on the native renderer (shared fixture at class scope)."""
 
