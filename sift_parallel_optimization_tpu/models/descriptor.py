@@ -91,6 +91,34 @@ PATCH_ROWS = 128           # >= 2*MAX_RADIUS + 16 alignment slack, mult of 16
 PATCH_COLS = 256           # >= 2*MAX_RADIUS + 128 alignment slack
 
 
+def max_patch_radius(S: int, sigma0: float = 1.6) -> int:
+    """Config-tight sample-radius bound (round 4).
+
+    MAX_RADIUS = 52 is the S=1 worst case; at the shipping S=3 the
+    largest refined scale is sigma0 * 2^((S + 0.6)/S) ~ 3.68 px, whose
+    descriptor window radius is ~39 px. Using the config's own bound
+    shrinks the per-keypoint patch from 128 to 112 rows (-12.5% of the
+    stage's dominant HBM traffic) with IDENTICAL sampling for every
+    keypoint the config can produce (the radius clamp only tightens
+    from 51 to a value no keypoint reaches). The 0.6 matches
+    detect.MAX_REFINE_OFFSET (a refined scale can exceed its integer
+    plane by at most the trust region).
+    """
+    import math
+
+    sig_max = sigma0 * 2.0 ** ((S + 0.6) / S)
+    rad_d = DESC_BIN_SIGMA * sig_max * math.sqrt(2.0) * (DESC_WIDTH + 1) / 2
+    rad_o = ORI_RADIUS_FACTOR * ORI_SIGMA_FACTOR * sig_max
+    return min(MAX_RADIUS, int(math.ceil(max(rad_d, rad_o))) + 1)
+
+
+def patch_rows_for(max_radius: int) -> int:
+    """Rows of the DMA patch: 2*(radius+1 bilinear) + ROW_ALIGN slack
+    for the aligned-down origin, rounded to the sublane tile."""
+    need = 2 * (max_radius + 1) + ROW_ALIGN
+    return min(PATCH_ROWS, -(-need // ROW_ALIGN) * ROW_ALIGN)
+
+
 def _roundup(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
@@ -131,12 +159,18 @@ def build_atlas(gauss_octaves: list[jax.Array]):
     return atlas, meta
 
 
-def _keypoint_patches(gauss_octaves: list[jax.Array], kp: Keypoints):
-    """One aligned (96, 256) patch per keypoint from its own plane.
+def _keypoint_patches(
+    gauss_octaves: list[jax.Array],
+    kp: Keypoints,
+    max_radius: int = MAX_RADIUS,
+):
+    """One aligned (patch_rows_for(max_radius), 256) patch per keypoint
+    from its own plane.
 
     Returns (patches, py, px, sig_o): float in-patch keypoint coordinates
     (fractional) and the keypoint sigma in octave pixels.
     """
+    rows = patch_rows_for(max_radius)
     atlas, meta = build_atlas(gauss_octaves)
     o = jnp.clip(kp.octave, 0, len(gauss_octaves) - 1)
     inv = jnp.exp2(-o.astype(jnp.float32))
@@ -149,21 +183,21 @@ def _keypoint_patches(gauss_octaves: list[jax.Array], kp: Keypoints):
     wl = meta["wlim"][o]
     ro = meta["row_off"][o]
     y0l = jnp.clip(
-        (jnp.floor((ya - MAX_RADIUS) / ROW_ALIGN) * ROW_ALIGN).astype(
+        (jnp.floor((ya - max_radius) / ROW_ALIGN) * ROW_ALIGN).astype(
             jnp.int32
         ),
         0,
-        hp - PATCH_ROWS,
+        hp - rows,
     )
     x0 = jnp.clip(
-        (jnp.floor((xa - (MAX_RADIUS + 1.0)) / 128.0) * 128).astype(
+        (jnp.floor((xa - (max_radius + 1.0)) / 128.0) * 128).astype(
             jnp.int32
         ),
         0,
         wl,
     )
     grow = ro + kp.scale * hp + y0l
-    patches = extract_atlas_patches(atlas, grow, x0, PATCH_ROWS, PATCH_COLS)
+    patches = extract_atlas_patches(atlas, grow, x0, rows, PATCH_COLS)
     py = ya - y0l.astype(jnp.float32)
     px = xa - x0.astype(jnp.float32)
     return patches, py, px, sig_o
@@ -186,9 +220,10 @@ def _resample(patches, py, px, offsets) -> jax.Array:
     # Hat weights in the patches' dtype: at DEFAULT matmul precision the
     # MXU rounds f32 operands to bf16 anyway, so casting here changes
     # nothing the matmul computes — it only avoids a mixed-dtype upcast
-    # of the (much larger) patch operand.
-    ay = _hat_weights(cy, PATCH_ROWS).astype(patches.dtype)  # (K, G, PR)
-    ax = _hat_weights(cx, PATCH_COLS).astype(patches.dtype)  # (K, G, PC)
+    # of the (much larger) patch operand. Extents follow the actual
+    # patch shape (config-tight rows, patch_rows_for).
+    ay = _hat_weights(cy, patches.shape[-2]).astype(patches.dtype)
+    ax = _hat_weights(cx, patches.shape[-1]).astype(patches.dtype)
     t = jnp.einsum("kgp,kpq->kgq", ay, patches,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("kgq,khq->kgh", t, ax.astype(t.dtype),
@@ -202,15 +237,17 @@ def _grid_gradients(samples: jax.Array):
     return gy, gx
 
 
-def _radii(sig_o: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _radii(
+    sig_o: jax.Array, max_radius: int = MAX_RADIUS
+) -> tuple[jax.Array, jax.Array]:
     """Per-keypoint (orientation, descriptor) sample-grid radii, clamped
     to the guaranteed patch coverage."""
     rad_o = jnp.minimum(
-        ORI_RADIUS_FACTOR * ORI_SIGMA_FACTOR * sig_o, MAX_RADIUS - 1.0
+        ORI_RADIUS_FACTOR * ORI_SIGMA_FACTOR * sig_o, max_radius - 1.0
     )
     rad_d = jnp.minimum(
         DESC_BIN_SIGMA * sig_o * (2**0.5) * (DESC_WIDTH + 1) * 0.5,
-        MAX_RADIUS - 1.0,
+        max_radius - 1.0,
     )
     return rad_o, rad_d
 
@@ -218,7 +255,11 @@ def _radii(sig_o: jax.Array) -> tuple[jax.Array, jax.Array]:
 USE_FUSED_SAMPLING = False  # fused kernel loses on chip; see module doc
 
 
-def _sample_grids(gauss_octaves: list[jax.Array], kp: Keypoints):
+def _sample_grids(
+    gauss_octaves: list[jax.Array],
+    kp: Keypoints,
+    max_radius: int = MAX_RADIUS,
+):
     """Shared entry: one patch read per keypoint -> BOTH sample grids.
 
     Default path everywhere: DMA-gathered patches + two batched
@@ -268,8 +309,10 @@ def _sample_grids(gauss_octaves: list[jax.Array], kp: Keypoints):
             atlas, grow, x0, params
         )
     else:
-        patches, py, px, sig_o = _keypoint_patches(gauss_octaves, kp)
-        rad_o, rad_d = _radii(sig_o)
+        patches, py, px, sig_o = _keypoint_patches(
+            gauss_octaves, kp, max_radius=max_radius
+        )
+        rad_o, rad_d = _radii(sig_o, max_radius=max_radius)
         samples_o = _resample(patches, py, px, lin_o[None] * rad_o[:, None])
         samples_d = _resample(patches, py, px, lin_d[None] * rad_d[:, None])
     off_o = lin_o[None] * rad_o[:, None]
@@ -411,6 +454,7 @@ def orient_and_describe(
     gauss_octaves: list[jax.Array],
     kp: Keypoints,
     dual_orientation: bool = False,
+    max_radius: int = MAX_RADIUS,
 ) -> tuple[Keypoints, jax.Array]:
     """Fused path: one patch gather feeds orientation AND descriptor.
 
@@ -421,7 +465,9 @@ def orient_and_describe(
     the extra cost is one more descriptor-histogram pass. Downstream
     consumers need no changes — they are capacity-agnostic.
     """
-    s_o, s_d, off_o, off_d, sig_o = _sample_grids(gauss_octaves, kp)
+    s_o, s_d, off_o, off_d, sig_o = _sample_grids(
+        gauss_octaves, kp, max_radius=max_radius
+    )
     theta1, theta2, second_ok = _orientation_from_samples(
         s_o, off_o, sig_o, kp
     )

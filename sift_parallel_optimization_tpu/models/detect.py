@@ -213,11 +213,15 @@ def _block_top2(rows: jax.Array):
     2nd argmax), as ONE variadic lax.reduce over the block axis.
 
     The combiner is the associative AND commutative top-2 tournament
-    merge (value ties broken toward the smaller index — XLA's reduce
-    only guarantees results for commutative combiners, so a
-    keep-the-left tie rule would be backend-dependent), so XLA can fuse
-    the whole table construction into the score producer. Matches
-    max/argmax + mask-the-argmax/re-reduce exactly (first-index ties).
+    merge — value ties break toward the smaller index, because XLA's
+    reduce documents guaranteed results only for commutative combiners
+    (a keep-the-left rule is only defined under in-order reduction and
+    a backend may reorder operands). Measured cost of the extra tie
+    compares on v5e at 512^2: none (refit stage 0.2419 vs 0.2410 ms in
+    back-to-back sessions — within the stage estimator's spread). XLA
+    fuses the whole table construction into the score producer either
+    way; matches max/argmax + mask-the-argmax/re-reduce exactly
+    (first-index ties).
     """
     lane = jnp.broadcast_to(
         jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :], rows.shape
@@ -486,7 +490,20 @@ def detect_octave_groups_batched(
             if cv.shape[0] < k:  # tiny pyramid under block reduction
                 cv = jnp.pad(cv, (0, k - cv.shape[0]))
                 ci = jnp.pad(ci, (0, k - ci.shape[0]))
-            v_b, sel = lax.top_k(cv, k)
+            if use_approx_topk and cv.shape[0] >= 8 * k:
+                # The table selection itself: exact top_k sorts the
+                # whole ~55k-entry table (0.059 ms at 512^2 on v5e);
+                # approx_max_k at recall_target 0.99 is 0.012 ms. What
+                # it can miss is the tail of the score RANKING near the
+                # capacity cut (the weakest of 512 selected from a
+                # block-max table), not spatial structure — the loss
+                # mode that broke odometry in round 3 (top-1 block
+                # tables dropping CLUSTERED candidates) is not in play,
+                # and the chip gates re-measure it (tpu_sanity recall
+                # >= 0.99, revisit odometry ATE unchanged).
+                v_b, sel = lax.approx_max_k(cv, k, recall_target=0.99)
+            else:
+                v_b, sel = lax.top_k(cv, k)
             i_b = ci[sel]
         vals_l.append(v_b)
         idx_l.append(i_b)

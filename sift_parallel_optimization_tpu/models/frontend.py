@@ -47,10 +47,15 @@ def extract_features(
     output capacity doubles to 2 * max_keypoints with slots [K:2K) holding
     the secondary-peak duplicates (masked where no qualifying peak).
     """
+    from sift_parallel_optimization_tpu.models.descriptor import (
+        max_patch_radius,
+    )
+
     gauss = sift_gaussian_pyramid(img, cfg)
     dogs = [g[1:] - g[:-1] for g in gauss]
     kp = detect_pyramid(dogs, cfg, max_keypoints=max_keypoints, **thresholds)
     kp, desc = orient_and_describe(
-        gauss, kp, dual_orientation=dual_orientation
+        gauss, kp, dual_orientation=dual_orientation,
+        max_radius=max_patch_radius(cfg.S, cfg.sigma0),
     )
     return Features(keypoints=kp, descriptors=desc)
