@@ -117,6 +117,7 @@ def _dense_score(
     contrast_threshold: float,
     edge_ratio: float,
     refine_iters: int,
+    want_hops: bool = False,
 ) -> jax.Array:
     """Dense per-voxel ranking stage: (S+2, H, W) DoG -> (S, H-2, W-2) score.
 
@@ -128,6 +129,19 @@ def _dense_score(
     each stencil-produced field to the linear gather layout dominates the
     whole detection stage. The sparse stage instead re-fits candidates from
     gathered 3x3x3 DoG cubes, ~us-scale.)
+
+    ``want_hops`` (refine_iters >= 1 only) additionally returns the dense
+    int32 HOP CODE plane: each voxel's first refinement hop, encoded as
+    (step_s+1)*9 + (step_y+1)*3 + (step_x+1) with per-axis step =
+    clip(round(offset), -1, 1), or 13 (no hop) where all |offset| <=
+    MAX_REFINE_OFFSET — exactly the decision the sparse stage's first
+    re-fit round would make from a gathered cube (same expressions on the
+    same f32 inputs; see _cube_fit's bitwise-equality contract). Carrying
+    this code through the block-reduce extraction lets the sparse stage
+    SKIP its first 19-offset gather round entirely (the refinement hop is
+    already known), which at 512^2/K=512 is ~0.07 ms of element-bound
+    gather — the single largest post-extraction cost. The code is a fused
+    VPU intermediate like the offsets; it never reaches HBM densely.
     """
     dog = dog.astype(jnp.float32)
     is_max, is_min = _window_extrema(dog)
@@ -151,7 +165,23 @@ def _dense_score(
             + gx * jnp.clip(off_x, -MAX_REFINE_OFFSET, MAX_REFINE_OFFSET)
         )
         good = (is_max | is_min) & (jnp.abs(d_rank) > thr) & edge_ok
-        return jnp.where(good, jnp.abs(d_rank), 0.0)
+        score = jnp.where(good, jnp.abs(d_rank), 0.0)
+        if want_hops:
+            conv = (
+                (jnp.abs(off_s) <= MAX_REFINE_OFFSET)
+                & (jnp.abs(off_y) <= MAX_REFINE_OFFSET)
+                & (jnp.abs(off_x) <= MAX_REFINE_OFFSET)
+            )
+            st = lambda o: (
+                jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32) + 1
+            )
+            hop = jnp.where(
+                conv, 13, st(off_s) * 9 + st(off_y) * 3 + st(off_x)
+            )
+            return score, hop
+        return score
+    if want_hops:
+        raise ValueError("want_hops requires refine_iters >= 1")
     # Refined contrast |D_hat| = |D + 1/2 g . offset|.
     d_hat = c + 0.5 * (gs * off_s + gy * off_y + gx * off_x)
     off_ok = (
@@ -208,7 +238,7 @@ def _cube_fit(vals19: jax.Array, edge_ratio: float):
     return off_s, off_y, off_x, d_hat, edge_ok
 
 
-def _block_top2(rows: jax.Array):
+def _block_top2(rows: jax.Array, hops: jax.Array | None = None):
     """(N, B) non-negative scores -> per-row (max, argmax, 2nd max,
     2nd argmax), as ONE variadic lax.reduce over the block axis.
 
@@ -222,10 +252,22 @@ def _block_top2(rows: jax.Array):
     fuses the whole table construction into the score producer either
     way; matches max/argmax + mask-the-argmax/re-reduce exactly
     (first-index ties).
+
+    ``hops`` (optional, same shape as ``rows``): an int32 hop-code
+    column (0..26, the dense hop codes of :func:`_dense_score`) that
+    rides PACKED INSIDE the index carrier as ``lane * 27 + hop`` — the
+    reduce keeps exactly its 4 carriers (a 6-carrier variant measured
+    +0.04 ms at 512^2, eating half the gather round the codes save).
+    Packing preserves the tie rule bitwise: within one row hop is a
+    function of lane, so comparing packed indices orders by lane exactly
+    as before. Returns (max, packed_argmax, 2nd max, packed_2nd) —
+    callers decode ``idx, hop = packed // 27, packed % 27``.
     """
     lane = jnp.broadcast_to(
         jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :], rows.shape
     )
+    if hops is not None:
+        lane = lane * 27 + hops
     zf = jnp.zeros_like(rows)
     zi = jnp.zeros_like(lane)
 
@@ -348,7 +390,16 @@ def detect_octave_groups_batched(
     assert groups and all(groups)
     b = groups[0][0][1].shape[0]
     ds2 = groups[0][0][1].shape[1]
+    if use_approx_topk is None:
+        use_approx_topk = jax.default_backend() in ("tpu", "axon")
+    # Dense-hop carry (see _dense_score): with the block-reduce
+    # extraction the first refinement hop of every candidate is decided
+    # by the DENSE pass and rides the top-2 tables, so the sparse stage
+    # starts directly at the hopped voxel — one 19-offset gather round
+    # (~0.07 ms at 512^2/K=512) removed, bitwise-identical keypoints.
+    use_hops = bool(use_approx_topk) and refine_iters >= 1
     seg_score = []
+    seg_hop = []
     seg_base = []  # per group: flat score base of its first octave
     stacks = []  # per group: (B*n_g, S+2, hp, wp) DoG stack
     # Per-octave metadata (numpy, static): in-frame flat base offset,
@@ -375,11 +426,20 @@ def detect_octave_groups_batched(
         ], axis=1)
         n_g = len(grp)
         stack4 = stack.reshape(b * n_g, ds2, hp, wp).astype(jnp.float32)
-        score = jax.vmap(
-            lambda d: _dense_score(
-                d, cfg, contrast_threshold, edge_ratio, refine_iters
-            )
-        )(stack4)
+        if use_hops:
+            score, hopc = jax.vmap(
+                lambda d: _dense_score(
+                    d, cfg, contrast_threshold, edge_ratio, refine_iters,
+                    want_hops=True,
+                )
+            )(stack4)
+            seg_hop.append(hopc.reshape(b, -1))
+        else:
+            score = jax.vmap(
+                lambda d: _dense_score(
+                    d, cfg, contrast_threshold, edge_ratio, refine_iters
+                )
+            )(stack4)
         ds, hs, ws = score.shape[1:]
         shp5 = (b, n_g, ds, hs, ws)
         score = score.reshape(shp5)
@@ -447,14 +507,15 @@ def detect_octave_groups_batched(
     # can exercise the TPU branch (the block-reduce runs anywhere) —
     # closing the backend-divergence test gap.
     k = min(capacity, n_total)
-    if use_approx_topk is None:
-        use_approx_topk = jax.default_backend() in ("tpu", "axon")
     blk = 64
-    vals_l, idx_l = [], []
+    vals_l, idx_l, hops_l = [], [], []
     for bi in range(b):
-        parts_v, parts_i = [], []
-        for sc, g_base in zip(seg_score, seg_base):      # sc: (B, V_g)
-            row = sc[bi] if b > 1 else sc.reshape(-1)
+        parts_v, parts_i, parts_h = [], [], []
+        for sg, (sc, g_base) in enumerate(zip(seg_score, seg_base)):
+            row = sc[bi] if b > 1 else sc.reshape(-1)    # sc: (B, V_g)
+            if use_hops:
+                sh = seg_hop[sg]
+                hrow = sh[bi] if b > 1 else sh.reshape(-1)
             vg = row.shape[0]
             if use_approx_topk and vg >= 4096:
                 pad = (-vg) % blk
@@ -466,7 +527,15 @@ def detect_octave_groups_batched(
                 # has a cross-pass data dependency that stops XLA fusing
                 # the block table into the score producer (measured
                 # +0.017 ms at 512^2).
-                tv1, ta1, tv2, ta2 = _block_top2(rows)
+                if use_hops:
+                    hrows = (jnp.pad(hrow, (0, pad), constant_values=13)
+                             if pad else hrow).reshape(-1, blk)
+                    tv1, tp1, tv2, tp2 = _block_top2(rows, hrows)
+                    ta1, th1 = tp1 // 27, tp1 % 27
+                    ta2, th2 = tp2 // 27, tp2 % 27
+                    parts_h.append(jnp.concatenate([th1, th2]))
+                else:
+                    tv1, ta1, tv2, ta2 = _block_top2(rows)
                 # Padded entries carry score 0 (never valid), but clamp
                 # their index inside the group so downstream octave/coord
                 # math cannot read out of range.
@@ -482,14 +551,25 @@ def detect_octave_groups_batched(
                 v_g, i_g = lax.top_k(row, kg)
                 parts_v.append(v_g)
                 parts_i.append(i_g + g_base)
+                if use_hops:
+                    parts_h.append(hrow[i_g])
         if len(parts_v) == 1 and parts_v[0].shape[0] == k:
             v_b, i_b = parts_v[0], parts_i[0]
+            h_b = parts_h[0] if use_hops else None
         else:
             cv = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
             ci = jnp.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
+            ch = (
+                (jnp.concatenate(parts_h) if len(parts_h) > 1
+                 else parts_h[0])
+                if use_hops else None
+            )
             if cv.shape[0] < k:  # tiny pyramid under block reduction
                 cv = jnp.pad(cv, (0, k - cv.shape[0]))
                 ci = jnp.pad(ci, (0, k - ci.shape[0]))
+                if use_hops:
+                    ch = jnp.pad(ch, (0, k - ch.shape[0]),
+                                 constant_values=13)
             if use_approx_topk and cv.shape[0] >= 8 * k:
                 # The table selection itself: exact top_k sorts the
                 # whole ~55k-entry table (0.059 ms at 512^2 on v5e);
@@ -505,13 +585,20 @@ def detect_octave_groups_batched(
             else:
                 v_b, sel = lax.top_k(cv, k)
             i_b = ci[sel]
+            h_b = ch[sel] if use_hops else None
         vals_l.append(v_b)
         idx_l.append(i_b)
+        if use_hops:
+            hops_l.append(h_b)
     vals = jnp.stack(vals_l)                       # (B, K)
     idx = jnp.stack(idx_l)
+    hops = jnp.stack(hops_l) if use_hops else None
     if k < capacity:  # tiny pyramid: pad up to capacity
         vals = jnp.pad(vals, ((0, 0), (0, capacity - k)))
         idx = jnp.pad(idx, ((0, 0), (0, capacity - k)))
+        if use_hops:
+            hops = jnp.pad(hops, ((0, 0), (0, capacity - k)),
+                           constant_values=13)
 
     # Per-candidate octave + in-octave voxel coords from the flat index.
     # All (B, K); gathers on tiny (n_oct,) tables flatten to 1-D form.
@@ -583,7 +670,22 @@ def detect_octave_groups_batched(
         nbhd = flat_take(flat_dog, pos)
         return _cube_fit(nbhd, edge_ratio)
 
-    os_, oy, ox, dh, eok = fit_at(s_i, y_i, x_i)
+    if use_hops:
+        # First refinement hop decoded from the dense hop codes carried
+        # through extraction — the first fit round's only output used
+        # here was this decision, so its gather round is skipped. A
+        # no-hop code (13) decodes to steps (0, 0, 0): clip(p + 0) == p
+        # for in-range p, matching the gathered round's jnp.where(conv,
+        # p, ...) bitwise.
+        ps = jnp.clip(s_i + (hops // 9 - 1), 0, ds - 1)
+        py = jnp.clip(y_i + ((hops // 3) % 3 - 1), 0, lim_y)
+        px = jnp.clip(x_i + (hops % 3 - 1), 0, lim_x)
+        os_, oy, ox, dh, eok = fit_at(ps, py, px)
+        rounds_left = refine_iters - 1
+    else:
+        os_, oy, ox, dh, eok = fit_at(s_i, y_i, x_i)
+        ps, py, px = s_i, y_i, x_i
+        rounds_left = refine_iters
     if refine_iters:
         # Sparse neighbor-hop refinement on the candidates: re-fit the
         # quadratic at each candidate's voxel from its gathered DoG cube,
@@ -592,13 +694,12 @@ def detect_octave_groups_batched(
         # measured on chip over 4 synthetic frames, refine=1 matched
         # refine=3 on 3/4 frames and was one keypoint short on the 4th —
         # hence the default of 1.
-        ps, py, px = s_i, y_i, x_i
 
         def hop(p, o, lim, conv):
             step = jnp.clip(jnp.round(o), -1, 1).astype(jnp.int32)
             return jnp.where(conv, p, jnp.clip(p + step, 0, lim))
 
-        for _ in range(refine_iters):
+        for _ in range(rounds_left):
             conv = (
                 (jnp.abs(os_) <= MAX_REFINE_OFFSET)
                 & (jnp.abs(oy) <= MAX_REFINE_OFFSET)
