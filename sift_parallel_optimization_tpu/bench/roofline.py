@@ -215,7 +215,8 @@ def descriptor_model(cfg: PyramidConfig, capacity: int) -> CostModel:
     # direction — so copies are charged one-way (max of read, write).
     # Round-3 calibration: modeling the patch DMA as read+write put the
     # measured stage at "131% of SOL", i.e. the floor was wrong.
-    patch_bytes = capacity * D.PATCH_ROWS * D.PATCH_COLS * item
+    rows = D.patch_rows_for(D.max_patch_radius(cfg.S, cfg.sigma0))
+    patch_bytes = capacity * rows * D.PATCH_COLS * item
     atlas_rows = 0.0
     pyr_bytes = 0.0
     for n in _octave_sizes(cfg.length, cfg.n_octaves):
@@ -227,7 +228,7 @@ def descriptor_model(cfg: PyramidConfig, capacity: int) -> CostModel:
     # Resample: two hat einsums per grid (ori 18, desc 26).
     resample = 0.0
     for g in (D.ORI_GRID, D.DESC_GRID):
-        resample += 2 * g * D.PATCH_ROWS * D.PATCH_COLS
+        resample += 2 * g * rows * D.PATCH_COLS
         resample += 2 * g * g * D.PATCH_COLS
     hist = 2 * (D.DESC_GRID - 2) ** 2 * (16 + 16 * 8)  # trilinear votes
     return CostModel(

@@ -83,7 +83,15 @@ DESC_CLIP = 0.2
 # loss, so f32 stays the default; the plumbing (dtype-aware DMA sublane
 # alignment, 16-row tiles) keeps the knob one constant away.
 ATLAS_DTYPE = jnp.float32
-ROW_ALIGN = 16             # sublane tile height (bf16 tile; also 2x f32's 8)
+# Sublane tile height of ATLAS_DTYPE: the DMA kernel needs row offsets
+# aligned to 8 sublanes for 4-byte dtypes, 16 for bf16
+# (ops/patch_gather.extract_atlas_patches_pallas). Deriving it from the
+# dtype instead of pinning the bf16 worst case cuts the patch row count
+# 112 -> 96 at the shipping S=3 config (patch_rows_for: the alignment
+# slack halves and the roundup grid tightens) — a 14% cut of the
+# stage's dominant HBM traffic with IDENTICAL samples (alignment only
+# moves the patch origin; the resample weights absorb it).
+ROW_ALIGN = 16 if jnp.dtype(ATLAS_DTYPE).itemsize < 4 else 8
 MAX_RADIUS = 52            # guaranteed in-patch sample radius (+1 bilinear)
 ROW_PAD = 64               # top pad per octave (mult of 16, >= MAX_RADIUS+4)
 COL_PAD = 128              # left pad per octave (one lane tile)

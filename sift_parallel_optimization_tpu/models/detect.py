@@ -131,16 +131,18 @@ def _dense_score(
     gathered 3x3x3 DoG cubes, ~us-scale.)
 
     ``want_hops`` (refine_iters >= 1 only) additionally returns the dense
-    int32 HOP CODE plane: each voxel's first refinement hop, encoded as
+    hop-PACKED int32 plane: each voxel's first refinement hop code
     (step_s+1)*9 + (step_y+1)*3 + (step_x+1) with per-axis step =
     clip(round(offset), -1, 1), or 13 (no hop) where all |offset| <=
     MAX_REFINE_OFFSET — exactly the decision the sparse stage's first
     re-fit round would make from a gathered cube (same expressions on the
-    same f32 inputs; see _cube_fit's bitwise-equality contract). Carrying
-    this code through the block-reduce extraction lets the sparse stage
-    SKIP its first 19-offset gather round entirely (the refinement hop is
-    already known), which at 512^2/K=512 is ~0.07 ms of element-bound
-    gather — the single largest post-extraction cost. The code is a fused
+    same f32 inputs; see _cube_fit's bitwise-equality contract) — packed
+    into the low 5 mantissa bits of the score's order-preserving int32
+    bit pattern (see the inline comment). Carrying this through the
+    block-reduce extraction lets the sparse stage SKIP its first
+    19-offset gather round entirely (the refinement hop is already
+    known), which at 512^2/K=512 is ~0.07 ms of element-bound gather —
+    the single largest post-extraction cost. The packed plane is a fused
     VPU intermediate like the offsets; it never reaches HBM densely.
     """
     dog = dog.astype(jnp.float32)
@@ -178,7 +180,20 @@ def _dense_score(
             hop = jnp.where(
                 conv, 13, st(off_s) * 9 + st(off_y) * 3 + st(off_x)
             )
-            return score, hop
+            # Pack the hop into the score's 5 low mantissa bits: for
+            # non-negative f32, the int32 bit pattern is order-preserving,
+            # so the block-reduce ranks the packed int directly and the
+            # fused producer feeds ONE operand. (A separate hop operand
+            # measured +0.032 ms at 512^2 — XLA duplicates the whole
+            # dense-fit chain into the second reduce input.) Ranking is
+            # quantized by 2^-18 relative — divergence only among scores
+            # tied to 19 mantissa bits, already inside the approx-top-k
+            # tolerance this branch runs under (recall gates apply).
+            # score == 0 (non-candidate) must stay EXACTLY 0 so the
+            # downstream vals > 0 validity gate cannot pass.
+            bits = lax.bitcast_convert_type(score, jnp.int32)
+            packed = jnp.where(score > 0, (bits & ~31) | hop, 0)
+            return score, packed
         return score
     if want_hops:
         raise ValueError("want_hops requires refine_iters >= 1")
@@ -238,7 +253,7 @@ def _cube_fit(vals19: jax.Array, edge_ratio: float):
     return off_s, off_y, off_x, d_hat, edge_ok
 
 
-def _block_top2(rows: jax.Array, hops: jax.Array | None = None):
+def _block_top2(rows: jax.Array):
     """(N, B) non-negative scores -> per-row (max, argmax, 2nd max,
     2nd argmax), as ONE variadic lax.reduce over the block axis.
 
@@ -253,21 +268,16 @@ def _block_top2(rows: jax.Array, hops: jax.Array | None = None):
     way; matches max/argmax + mask-the-argmax/re-reduce exactly
     (first-index ties).
 
-    ``hops`` (optional, same shape as ``rows``): an int32 hop-code
-    column (0..26, the dense hop codes of :func:`_dense_score`) that
-    rides PACKED INSIDE the index carrier as ``lane * 27 + hop`` — the
-    reduce keeps exactly its 4 carriers (a 6-carrier variant measured
-    +0.04 ms at 512^2, eating half the gather round the codes save).
-    Packing preserves the tie rule bitwise: within one row hop is a
-    function of lane, so comparing packed indices orders by lane exactly
-    as before. Returns (max, packed_argmax, 2nd max, packed_2nd) —
-    callers decode ``idx, hop = packed // 27, packed % 27``.
+    ``rows`` may be f32 scores OR the hop-packed non-negative int32 of
+    :func:`_dense_score` (for non-negative f32 the bit pattern is
+    order-preserving, so integer compares rank identically); the
+    combiner is dtype-generic. Only the lane iota feeds the reduce
+    besides ``rows`` itself, so the (expensive) score producer is fused
+    into exactly one operand.
     """
     lane = jnp.broadcast_to(
         jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :], rows.shape
     )
-    if hops is not None:
-        lane = lane * 27 + hops
     zf = jnp.zeros_like(rows)
     zi = jnp.zeros_like(lane)
 
@@ -288,9 +298,9 @@ def _block_top2(rows: jax.Array, hops: jax.Array | None = None):
         sidx = jnp.where(s_swap, lose_i, win2_i)
         return first, fidx, second, sidx
 
+    z = jnp.zeros((), rows.dtype)
     return lax.reduce(
-        (rows, lane, zf, zi),
-        (jnp.float32(0), jnp.int32(0), jnp.float32(0), jnp.int32(0)),
+        (rows, lane, zf, zi), (z, jnp.int32(0), z, jnp.int32(0)),
         comb, (1,),
     )
 
@@ -426,6 +436,7 @@ def detect_octave_groups_batched(
         ], axis=1)
         n_g = len(grp)
         stack4 = stack.reshape(b * n_g, ds2, hp, wp).astype(jnp.float32)
+        hopc = None
         if use_hops:
             score, hopc = jax.vmap(
                 lambda d: _dense_score(
@@ -433,7 +444,6 @@ def detect_octave_groups_batched(
                     want_hops=True,
                 )
             )(stack4)
-            seg_hop.append(hopc.reshape(b, -1))
         else:
             score = jax.vmap(
                 lambda d: _dense_score(
@@ -443,6 +453,8 @@ def detect_octave_groups_batched(
         ds, hs, ws = score.shape[1:]
         shp5 = (b, n_g, ds, hs, ws)
         score = score.reshape(shp5)
+        if hopc is not None:
+            hopc = hopc.reshape(shp5)
         if any(d.shape != grp[0][1].shape for _, d in grp):
             # Mask padded voxels out of the candidate set. True interior
             # rows of an (s2, h, w) octave are [0, h-3] in interior coords.
@@ -454,6 +466,10 @@ def detect_octave_groups_batched(
                 ix < jnp.asarray(w_real)[None, :, None, None, None] - 2
             )
             score = jnp.where(inb, score, 0.0)
+            if hopc is not None:
+                hopc = jnp.where(inb, hopc, 0)
+        if hopc is not None:
+            seg_hop.append(hopc.reshape(b, -1))
         v = ds * hs * ws
         seg_base.append(base)
         for j, (o, d) in enumerate(grp):
@@ -519,23 +535,31 @@ def detect_octave_groups_batched(
             vg = row.shape[0]
             if use_approx_topk and vg >= 4096:
                 pad = (-vg) % blk
-                rows = (jnp.pad(row, (0, pad)) if pad else row)
-                rows = rows.reshape(-1, blk)
-                rbase = jnp.arange(rows.shape[0], dtype=jnp.int32) * blk
                 # Top-2 per block (see design comment above) as ONE
                 # variadic lax.reduce — a two-pass mask-the-argmax form
                 # has a cross-pass data dependency that stops XLA fusing
                 # the block table into the score producer (measured
-                # +0.017 ms at 512^2).
+                # +0.017 ms at 512^2). With hop codes, the reduce runs
+                # on the hop-PACKED int32 (order-preserving bitcast of
+                # the f32 score — see _dense_score) so the producer
+                # still feeds one operand; values and hops unpack from
+                # the small tables afterwards.
                 if use_hops:
-                    hrows = (jnp.pad(hrow, (0, pad), constant_values=13)
-                             if pad else hrow).reshape(-1, blk)
-                    tv1, tp1, tv2, tp2 = _block_top2(rows, hrows)
-                    ta1, th1 = tp1 // 27, tp1 % 27
-                    ta2, th2 = tp2 // 27, tp2 % 27
-                    parts_h.append(jnp.concatenate([th1, th2]))
+                    prows = (jnp.pad(hrow, (0, pad)) if pad
+                             else hrow).reshape(-1, blk)
+                    tp1, ta1, tp2, ta2 = _block_top2(prows)
+                    tv1 = lax.bitcast_convert_type(tp1 & ~31, jnp.float32)
+                    tv2 = lax.bitcast_convert_type(tp2 & ~31, jnp.float32)
+                    parts_h.append(
+                        jnp.concatenate([tp1 & 31, tp2 & 31])
+                    )
                 else:
+                    rows = (jnp.pad(row, (0, pad)) if pad else row)
+                    rows = rows.reshape(-1, blk)
                     tv1, ta1, tv2, ta2 = _block_top2(rows)
+                rbase = jnp.arange(
+                    (vg + pad) // blk, dtype=jnp.int32
+                ) * blk
                 # Padded entries carry score 0 (never valid), but clamp
                 # their index inside the group so downstream octave/coord
                 # math cannot read out of range.
@@ -552,7 +576,7 @@ def detect_octave_groups_batched(
                 parts_v.append(v_g)
                 parts_i.append(i_g + g_base)
                 if use_hops:
-                    parts_h.append(hrow[i_g])
+                    parts_h.append(hrow[i_g] & 31)
         if len(parts_v) == 1 and parts_v[0].shape[0] == k:
             v_b, i_b = parts_v[0], parts_i[0]
             h_b = parts_h[0] if use_hops else None
