@@ -473,6 +473,94 @@ def blur_bank(
     ).astype(dt)
 
 
+# SIFT-mode tail: octaves whose long side is at or below this run as ONE
+# batched composite-operator einsum pair instead of the per-octave
+# blur/subsample cascade (see _sift_tail_octaves). 64 matches the
+# REFERENCE-mode tail threshold (the measured dispatch/compute
+# crossover on v5e).
+_SIFT_TAIL_MAX = 64
+_SIFT_TAIL_CACHE: dict = {}
+
+
+def _sift_tail_mats_np(
+    n: int, rel: tuple, sig_s: float, n_tail: int
+):
+    """(n_tail * n_scales, n, n) zero-padded per-axis operator stack.
+
+    The blur/subsample cascade is LINEAR, so every tail plane is
+    ``A^T x_t A`` with A a product of blur_matrix and even-row selection
+    factors. The factors are composed in float64 here (f32 entries,
+    exact f64 products), so the single f32-HIGHEST application has ONE
+    rounding stage where the cascade had one per octave — within ~1e-7
+    of the cascade, same operator. ``sig_s`` is the scale-S relative
+    sigma the cascade blurs with before each subsample.
+    """
+    import numpy as np
+
+    mats = []
+    M = np.eye(n, dtype=np.float64)
+    sz = n
+    for o in range(n_tail):
+        mats.append(M.copy())  # scale 0: the octave base itself
+        for s_rel in rel:
+            mats.append(M @ _blur_matrix_np(sz, s_rel).astype(np.float64))
+        if o + 1 < n_tail:
+            bs = _blur_matrix_np(sz, sig_s).astype(np.float64)
+            nxt = -(-sz // 2)
+            p = np.zeros((sz, nxt), np.float64)
+            p[np.arange(nxt) * 2, np.arange(nxt)] = 1.0
+            M = M @ bs @ p
+            sz = nxt
+    out = np.zeros((len(mats), n, n), np.float32)
+    for i, m in enumerate(mats):
+        out[i, :, : m.shape[1]] = m.astype(np.float32)
+    return out
+
+
+def _sift_tail_octaves(
+    x: jax.Array,
+    rel: Sequence[float],
+    sig_s: float,
+    n_tail: int,
+    n_scales: int,
+    precision,
+    dtype,
+) -> list[jax.Array]:
+    """All remaining tail octaves from base ``x`` in one einsum pair.
+
+    Round-4 measurement (v5e, 512^2 SIFT pyramid): the <=64 cascade tail
+    cost ~10 us of ~1-us launches; this computes every tail plane
+    directly from the tail base with precomposed operators
+    (:func:`_sift_tail_mats_np`) — two batched matmuls total.
+    """
+    h, w = x.shape
+    key = (h, w, tuple(rel), sig_s, n_tail)
+    if key not in _SIFT_TAIL_CACHE:
+        ah = _sift_tail_mats_np(h, tuple(rel), sig_s, n_tail)
+        aw = (
+            ah if w == h
+            else _sift_tail_mats_np(w, tuple(rel), sig_s, n_tail)
+        )
+        _SIFT_TAIL_CACHE[key] = (ah, aw)
+    ah_np, aw_np = _SIFT_TAIL_CACHE[key]
+    ah = jnp.asarray(ah_np).astype(dtype)
+    aw = ah if w == h else jnp.asarray(aw_np).astype(dtype)
+    tmp = jnp.einsum(
+        "hw,pwv->phv", x, aw,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out = jnp.einsum(
+        "phu,phv->puv", ah, tmp,
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(dtype)
+    octaves = []
+    ho, wo = h, w
+    for o in range(n_tail):
+        octaves.append(out[o * n_scales : (o + 1) * n_scales, :ho, :wo])
+        ho, wo = -(-ho // 2), -(-wo // 2)
+    return octaves
+
+
 def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]:
     """True SIFT Gaussian pyramid: list of (S+3, H_o, W_o) per octave.
 
@@ -481,6 +569,8 @@ def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]
     Lowe 2004 cascade, parallelized — see _octave_scale_sigmas); octave o+1
     starts from octave o's scale-S image downsampled by 2. Unlike REFERENCE
     mode, octaves cascade instead of subsampling the original image.
+    Octaves at or below _SIFT_TAIL_MAX are computed in one batched
+    composite-operator pass (see _sift_tail_octaves).
     """
     x = img.astype(cfg.dtype)
     prec = cfg.blur_lax_precision
@@ -491,7 +581,17 @@ def sift_gaussian_pyramid(img: jax.Array, cfg: PyramidConfig) -> list[jax.Array]
     x = blur_bank(x, [base_sigma], precision=prec)[0]
     rel = _octave_scale_sigmas(cfg)
     octaves = []
-    for _o in range(cfg.n_octaves):
+    n_oct = cfg.n_octaves
+    for _o in range(n_oct):
+        n_left = n_oct - _o
+        if n_left > 1 and max(x.shape) <= _SIFT_TAIL_MAX:
+            octaves.extend(
+                _sift_tail_octaves(
+                    x, rel, rel[cfg.S - 1], n_left, cfg.n_scales,
+                    prec, cfg.dtype,
+                )
+            )
+            break
         octave = jnp.concatenate(
             [x[None], blur_bank(x, rel, precision=prec)], axis=0
         )
