@@ -524,9 +524,9 @@ def detect_octave_groups_batched(
     # closing the backend-divergence test gap.
     k = min(capacity, n_total)
     blk = 64
-    vals_l, idx_l, hops_l = [], [], []
+    vals_l, idx_l = [], []
     for bi in range(b):
-        parts_v, parts_i, parts_h = [], [], []
+        parts_v, parts_i = [], []
         for sg, (sc, g_base) in enumerate(zip(seg_score, seg_base)):
             row = sc[bi] if b > 1 else sc.reshape(-1)    # sc: (B, V_g)
             if use_hops:
@@ -545,14 +545,15 @@ def detect_octave_groups_batched(
                 # still feeds one operand; values and hops unpack from
                 # the small tables afterwards.
                 if use_hops:
+                    # The table stays hop-PACKED int32 (order-preserving
+                    # bitcast of the f32 score, see _dense_score) all
+                    # the way through the final top-k: one decode of K
+                    # entries at the end instead of per-octave
+                    # unpack/bitcast passes (tiny arrays, but each was
+                    # its own ~1-us launch).
                     prows = (jnp.pad(hrow, (0, pad)) if pad
                              else hrow).reshape(-1, blk)
-                    tp1, ta1, tp2, ta2 = _block_top2(prows)
-                    tv1 = lax.bitcast_convert_type(tp1 & ~31, jnp.float32)
-                    tv2 = lax.bitcast_convert_type(tp2 & ~31, jnp.float32)
-                    parts_h.append(
-                        jnp.concatenate([tp1 & 31, tp2 & 31])
-                    )
+                    tv1, ta1, tv2, ta2 = _block_top2(prows)
                 else:
                     rows = (jnp.pad(row, (0, pad)) if pad else row)
                     rows = rows.reshape(-1, blk)
@@ -573,27 +574,18 @@ def detect_octave_groups_batched(
             else:
                 kg = min(k, vg)
                 v_g, i_g = lax.top_k(row, kg)
-                parts_v.append(v_g)
                 parts_i.append(i_g + g_base)
-                if use_hops:
-                    parts_h.append(hrow[i_g] & 31)
+                # In hop mode the packed int (same ranking) joins the
+                # packed tables; otherwise the f32 score does.
+                parts_v.append(hrow[i_g] if use_hops else v_g)
         if len(parts_v) == 1 and parts_v[0].shape[0] == k:
             v_b, i_b = parts_v[0], parts_i[0]
-            h_b = parts_h[0] if use_hops else None
         else:
             cv = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
             ci = jnp.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
-            ch = (
-                (jnp.concatenate(parts_h) if len(parts_h) > 1
-                 else parts_h[0])
-                if use_hops else None
-            )
             if cv.shape[0] < k:  # tiny pyramid under block reduction
                 cv = jnp.pad(cv, (0, k - cv.shape[0]))
                 ci = jnp.pad(ci, (0, k - ci.shape[0]))
-                if use_hops:
-                    ch = jnp.pad(ch, (0, k - ch.shape[0]),
-                                 constant_values=13)
             if use_approx_topk and cv.shape[0] >= 8 * k:
                 # The table selection itself: exact top_k sorts the
                 # whole ~55k-entry table (0.059 ms at 512^2 on v5e);
@@ -604,25 +596,34 @@ def detect_octave_groups_batched(
                 # mode that broke odometry in round 3 (top-1 block
                 # tables dropping CLUSTERED candidates) is not in play,
                 # and the chip gates re-measure it (tpu_sanity recall
-                # >= 0.99, revisit odometry ATE unchanged).
-                v_b, sel = lax.approx_max_k(cv, k, recall_target=0.99)
+                # >= 0.99, revisit odometry ATE unchanged). Packed-int
+                # tables rank through a bitcast: non-negative int32
+                # patterns order identically as f32 (no NaN aliases —
+                # score exponents are far below the NaN band).
+                rank = (
+                    lax.bitcast_convert_type(cv, jnp.float32)
+                    if use_hops else cv
+                )
+                v_b, sel = lax.approx_max_k(rank, k, recall_target=0.99)
+                if use_hops:
+                    v_b = cv[sel]
             else:
                 v_b, sel = lax.top_k(cv, k)
             i_b = ci[sel]
-            h_b = ch[sel] if use_hops else None
         vals_l.append(v_b)
         idx_l.append(i_b)
-        if use_hops:
-            hops_l.append(h_b)
     vals = jnp.stack(vals_l)                       # (B, K)
     idx = jnp.stack(idx_l)
-    hops = jnp.stack(hops_l) if use_hops else None
     if k < capacity:  # tiny pyramid: pad up to capacity
         vals = jnp.pad(vals, ((0, 0), (0, capacity - k)))
         idx = jnp.pad(idx, ((0, 0), (0, capacity - k)))
-        if use_hops:
-            hops = jnp.pad(hops, ((0, 0), (0, capacity - k)),
-                           constant_values=13)
+    hops = None
+    if use_hops:
+        # One decode of the (B, K) winners: hop code from the low 5
+        # bits, the f32 score from the masked bit pattern (packed 0 ->
+        # score 0.0, so invalid slots stay invalid).
+        hops = vals & 31
+        vals = lax.bitcast_convert_type(vals & ~31, jnp.float32)
 
     # Per-candidate octave + in-octave voxel coords from the flat index.
     # All (B, K); gathers on tiny (n_oct,) tables flatten to 1-D form.
