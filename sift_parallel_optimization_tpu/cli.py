@@ -190,6 +190,7 @@ def _cmd_sfm(args) -> int:
             traj, m = run_odometry(
                 jax.random.key(args.seed), feats, K, window=args.window,
                 loop_closure=args.loop_closure,
+                marginalize=not args.no_marginalize,
             )
             est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
             print(f"window odometry (W={args.window}"
@@ -274,6 +275,7 @@ def _cmd_sfm(args) -> int:
         traj, m = run_odometry(
             jax.random.key(args.seed), feats, K, window=args.window,
             loop_closure=args.loop_closure,
+            marginalize=not args.no_marginalize,
         )
         est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
         print(f"window odometry (W={args.window}"
@@ -420,6 +422,11 @@ def main(argv=None) -> int:
     s.add_argument("--loop-closure", action="store_true",
                    help="with --window: archive evicted landmarks and "
                         "correct revisits via pose-graph optimization")
+    s.add_argument("--no-marginalize", action="store_true",
+                   help="with --window: disable anchor marginalization "
+                        "(fixed-landmark factors for evicted blocks; on "
+                        "by default — the ablation knob for drift "
+                        "studies)")
     s.add_argument("--save-traj", default=None,
                    help="write the estimated trajectory to this path")
     s.add_argument("--traj-format", choices=("tum", "kitti"), default="tum")

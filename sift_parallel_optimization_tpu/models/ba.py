@@ -46,6 +46,45 @@ class Observations(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
+class Anchors(NamedTuple):
+    """Fixed-landmark reprojection factors: camera DOF only.
+
+    Marginalization-lite for the windowed odometry (round 4): when a
+    landmark block is evicted from the window, surviving cameras'
+    observations of those landmarks would otherwise be DISCARDED
+    (models/odometry.shift_window invalidates them), cutting the
+    constraints that tie the window to the geometry it just left — the
+    dominant windowed-only drift source. An anchor keeps such an
+    observation alive against the landmark's FROZEN world position: the
+    residual is project(pose_cam, xyz_frozen) - uv with a Jacobian only
+    in the 6 camera DOF, so anchors contribute ONLY to the Hcc diagonal
+    blocks and camera rhs — the Schur structure (and both solvers'
+    shapes) are untouched. Anchors expire with their camera (at most
+    window-1 evictions), so frozen-position bias stays local — the same
+    locality argument as first-estimate-Jacobian marginalization priors.
+    (Reference analogue: none — north-star config 5; closest cousin is
+    the archive-PnP loop constraint, which anchors against REVISITED
+    frozen landmarks where this anchors against just-evicted ones.)
+    """
+
+    cam_idx: jax.Array  # (A,) i32
+    xyz: jax.Array      # (A, 3) f32 frozen world positions (constants)
+    uv: jax.Array       # (A, 2) f32 measured pixels
+    valid: jax.Array    # (A,) bool
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def empty_anchors(capacity: int) -> Anchors:
+    return Anchors(
+        cam_idx=jnp.zeros(capacity, jnp.int32),
+        xyz=jnp.zeros((capacity, 3), jnp.float32),
+        uv=jnp.zeros((capacity, 2), jnp.float32),
+        valid=jnp.zeros(capacity, bool),
+    )
+
+
 class BAState(NamedTuple):
     rvecs: jax.Array   # (C, 3) axis-angle world->cam
     tvecs: jax.Array   # (C, 3)
@@ -306,6 +345,7 @@ def assemble_normal_blocks(
     K: jax.Array,
     huber_delta: float | None = None,
     fix_first_cam: bool = True,
+    anchors: Anchors | None = None,
 ) -> NormalBlocks:
     """Linearize all observations and reduce them into block form.
 
@@ -357,6 +397,37 @@ def assemble_normal_blocks(
     w = jax.ops.segment_sum(
         w_obs.reshape(-1, 18), seg, C * P
     ).reshape(C, P, 6, 3)
+
+    if anchors is not None:
+        # Fixed-landmark factors (Anchors): same analytic linearization
+        # with the POINT treated as a constant — the point Jacobian is
+        # computed and dropped (its columns share almost all the
+        # rotation-chain subexpressions with jc, so a dedicated
+        # cam-only path would save little). Contributions land ONLY in
+        # hcc/bc; hpp/bp/w are untouched, so the Schur elimination
+        # below is structurally identical.
+        ja, _jp_unused, ra = _analytic_jacobians_core(
+            state.rvecs[anchors.cam_idx],
+            state.tvecs[anchors.cam_idx],
+            anchors.xyz,
+            anchors.uv,
+            anchors.valid,
+            K,
+        )
+        if huber_delta is not None:
+            hwa = _huber_weights(ra, huber_delta)[:, None, None]
+            ja = ja * jnp.sqrt(hwa)
+            ra = ra * jnp.sqrt(hwa[:, :, 0])
+        if fix_first_cam:
+            keep_a = (anchors.cam_idx != 0)[:, None, None].astype(ja.dtype)
+            ja = ja * keep_a
+        oh_a = jax.nn.one_hot(anchors.cam_idx, C, dtype=ja.dtype)
+        hcc = hcc + jnp.einsum(
+            "mc,mkl->ckl", oh_a, jnp.einsum("mik,mil->mkl", ja, ja)
+        )
+        bc = bc - jnp.einsum(
+            "mc,mk->ck", oh_a, jnp.einsum("mik,mi->mk", ja, ra)
+        )
     return NormalBlocks(hcc=hcc, hpp=hpp, bc=bc, bp=bp, w=w)
 
 
@@ -810,6 +881,7 @@ def ba_step(
     cg_iters: int = 25,
     cg_tol: float = 1e-8,
     plan: GroupPlan | None = None,
+    anchors: Anchors | None = None,
 ) -> BAState:
     """One damped Gauss-Newton step with Schur-complement elimination.
 
@@ -817,9 +889,15 @@ def ba_step(
     system exactly (best for small scenes, bit-stable); "cg" runs the
     implicit-Schur preconditioned CG (O(M) memory, scales to hundreds of
     cameras — see GroupPlan/ImplicitBlocks). Pass ``plan`` to reuse the
-    grouping across steps.
+    grouping across steps. ``anchors`` (fixed-landmark factors, dense
+    solver only) add camera-block information — see :class:`Anchors`.
     """
     if solver == "cg":
+        if anchors is not None:
+            raise NotImplementedError(
+                "anchors are a windowed-odometry (dense-solver) feature; "
+                "the CG path's window scenes resolve to 'dense'"
+            )
         blk = assemble_implicit_blocks(
             state, obs, K, damping=damping,
             huber_delta=huber_delta, fix_first_cam=fix_first_cam,
@@ -832,6 +910,7 @@ def ba_step(
         blocks = assemble_normal_blocks(
             state, obs, K,
             huber_delta=huber_delta, fix_first_cam=fix_first_cam,
+            anchors=anchors,
         )
         delta_c, delta_p = solve_schur(
             blocks, damping=damping, fix_first_cam=fix_first_cam
@@ -851,6 +930,7 @@ def bundle_adjust(
     cg_iters: int = 25,
     cg_tol: float = 1e-8,
     max_obs_per_point: int | None = None,
+    anchors: Anchors | None = None,
 ) -> BAState:
     """Run ``n_iters`` damped Gauss-Newton steps (static trip count).
 
@@ -858,7 +938,8 @@ def bundle_adjust(
     capacities — see :func:`resolve_solver`). For the CG solver the
     observation grouping (make_group_plan) is computed once here and
     reused by every step — the layout depends only on the index
-    structure, not on the evolving state.
+    structure, not on the evolving state. ``anchors``: optional
+    fixed-landmark factors (dense solver only; see :class:`Anchors`).
     """
     solver = resolve_solver(
         state.rvecs.shape[0], state.points.shape[0], solver
@@ -880,6 +961,7 @@ def bundle_adjust(
             cg_iters=cg_iters,
             cg_tol=cg_tol,
             plan=plan,
+            anchors=anchors,
         )
 
     return lax.fori_loop(0, n_iters, body, state)

@@ -409,6 +409,70 @@ def shift_window(m: SfmMap, pts_per_frame: int) -> SfmMap:
     )
 
 
+def harvest_anchors(
+    m: SfmMap,
+    anchors,
+    pts_per_frame: int,
+    per_eviction: int = 128,
+):
+    """Called just BEFORE :func:`shift_window`: turn the departing
+    landmark block's surviving observations into fixed-landmark factors.
+
+    Rows of ``m.obs`` that reference the evicted block (pt_idx < B) from
+    cameras that survive the shift (cam_idx >= 1) would be INVALIDATED
+    by shift_window — discarding the constraints that tie the remaining
+    window to the geometry it just left, the dominant windowed-only
+    drift source. Here they become :class:`~.ba.Anchors` against the
+    landmarks' frozen world positions (marginalization-lite; see the
+    Anchors docstring for the locality/bias argument).
+
+    Static-shape bookkeeping: up to ``per_eviction`` candidates are kept
+    per eviction (ranked valid-first, then LATEST camera first — later
+    cameras survive the most future evictions, so their anchors pay rent
+    longest), existing anchors shift down one camera slot and expire
+    when their camera leaves, and the merge compacts valid-first
+    (stable) into the fixed capacity. All O(|obs| log |obs|) argsorts on
+    ~2-3k rows — device-side, jit once.
+    """
+    import jax
+
+    B = pts_per_frame
+    A = anchors.valid.shape[0]
+    obs = m.obs
+    W = m.rvecs.shape[0]
+    # cam_idx >= 2: post-shift the camera must land on slot >= 1 —
+    # slot 0 is gauge-fixed in the window BA (its Jacobians are zeroed),
+    # so a slot-0 anchor would occupy a row and constrain nothing.
+    new_valid = (
+        obs.valid & (obs.pt_idx < B) & (obs.cam_idx >= 2)
+        & m.pt_valid[obs.pt_idx]
+    )
+    from sift_parallel_optimization_tpu.models.ba import Anchors
+
+    cand = Anchors(
+        cam_idx=jnp.maximum(obs.cam_idx - 1, 0),
+        xyz=m.points[obs.pt_idx],
+        uv=obs.uv,
+        valid=new_valid,
+    )
+    # Rank: valid first, then latest camera first; stable for obs-order
+    # determinism within a camera.
+    key_new = jnp.where(new_valid, W - cand.cam_idx, 10_000)
+    sel = jnp.argsort(key_new, stable=True)[:per_eviction]
+    cand = jax.tree.map(lambda a: a[sel], cand)
+
+    old_cam = anchors.cam_idx - 1
+    old = anchors._replace(
+        cam_idx=jnp.maximum(old_cam, 0),
+        valid=anchors.valid & (old_cam >= 1),
+    )
+    merged = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), old, cand
+    )
+    order = jnp.argsort(~merged.valid, stable=True)[:A]
+    return jax.tree.map(lambda a: a[order], merged)
+
+
 def run_odometry(
     key,
     features: Sequence[Features],
@@ -431,8 +495,15 @@ def run_odometry(
     return_info: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    marginalize: bool = True,
 ):
     """Constant-memory odometry over a frame sequence of ANY length.
+
+    ``marginalize`` keeps evicted-landmark observations alive as
+    fixed-landmark anchor factors in the window BA
+    (:func:`harvest_anchors` / :class:`~.ba.Anchors`) — the
+    marginalization-lite counterpart of the frozen-pose convention
+    (measured effect: BASELINE.md round-4 windowed-only rows).
 
     Returns the full (n, 3)+(n, 3) trajectory plus the final window map
     (whose capacities depend only on ``window`` and ``pts_per_frame``).
@@ -509,6 +580,20 @@ def run_odometry(
         functools.partial(bundle_adjust, n_iters=ba_iters, **ba_kwargs)
     )
 
+    anc = None
+    harvest_fn = None
+    if marginalize and solver != "cg":
+        from sift_parallel_optimization_tpu.models.ba import empty_anchors
+
+        anc = empty_anchors((W - 1) * pts_per_frame)
+        harvest_fn = jax.jit(
+            functools.partial(
+                harvest_anchors,
+                pts_per_frame=pts_per_frame,
+                per_eviction=pts_per_frame,
+            )
+        )
+
     frozen_r: list[jax.Array] = []   # evicted poses, world frame, final
     frozen_t: list[jax.Array] = []
 
@@ -560,6 +645,10 @@ def run_odometry(
             "archive_size": int(archive_size or 0),
             "max_loops": max_loops,
             "desc_capacity": int(features[0].descriptors.shape[0]),
+            # Anchor capacity changes the checkpoint pytree AND the BA
+            # trajectory — a resume under a different marginalize
+            # setting must be refused like any capacity change.
+            "anchors": 0 if anc is None else int(anc.valid.shape[0]),
         }
 
         def _ckpt_like(step: int) -> dict:
@@ -578,6 +667,12 @@ def run_odometry(
             if loop_closure:
                 like["arch"] = empty_archive(archive_size)
                 like["buf"] = empty_loop_buffer(max_loops)
+            if anc is not None:
+                from sift_parallel_optimization_tpu.models.ba import (
+                    empty_anchors,
+                )
+
+                like["anc"] = empty_anchors((W - 1) * pts_per_frame)
             return like
 
         step = ckpt.latest_step(checkpoint_dir)
@@ -591,6 +686,8 @@ def run_odometry(
             frozen_t = [state["frozen_t"][k] for k in range(F)]
             if loop_closure:
                 arch, buf = state["arch"], state["buf"]
+            if anc is not None and "anc" in state:
+                anc = state["anc"]
             start = step + 1
 
     if start == 2:
@@ -606,6 +703,8 @@ def run_odometry(
                     jnp.asarray(i - W, jnp.int32),
                     jnp.asarray(i - W, jnp.int32),
                 )
+            if harvest_fn is not None:
+                anc = harvest_fn(m, anc)
             m = shift_fn(m)
         slot = min(i, W - 1)
         m, used = reg_fn(
@@ -613,7 +712,7 @@ def run_odometry(
             jnp.asarray(slot, jnp.int32), K, used,
         )
         if ba_every and (i % ba_every == 0 or i == n - 1):
-            st = ba_fn(m.ba_state(), m.obs, K)
+            st = ba_fn(m.ba_state(), m.obs, K, anchors=anc)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
         if loop_closure and i > W:
             # Archive non-empty (first eviction at i == W). Inlier
@@ -646,6 +745,8 @@ def run_odometry(
             if loop_closure:
                 state["arch"] = arch
                 state["buf"] = buf
+            if anc is not None:
+                state["anc"] = anc
             ckpt.save_pytree(
                 checkpoint_dir, state, step=i, meta=ckpt_meta
             )

@@ -42,6 +42,116 @@ def _toy_map(W=3, B=2):
     )
 
 
+def test_harvest_anchors_freezes_evicted_block_observations():
+    """Observations of the departing block (pt_idx < B) by surviving
+    cameras become fixed-landmark anchors with the landmarks' frozen
+    positions and shifted camera indices; old anchors expire with their
+    camera; everything stays inside the fixed capacity."""
+    from sift_parallel_optimization_tpu.models.ba import empty_anchors
+    from sift_parallel_optimization_tpu.models.odometry import (
+        harvest_anchors,
+    )
+
+    W, B = 3, 2
+    m = _toy_map(W, B)
+    # The toy map's modular obs pattern never pairs block-0 points with
+    # camera >= 2; craft rows that do (plus decoys that must NOT
+    # harvest: evicted cam, non-evicted block, invalid row).
+    m = m._replace(obs=Observations(
+        cam_idx=jnp.asarray([2, 2, 1, 0, 2, 2], jnp.int32),
+        pt_idx=jnp.asarray([0, 1, 0, 1, 3, 0], jnp.int32),
+        uv=jnp.arange(12, dtype=jnp.float32).reshape(6, 2),
+        valid=jnp.asarray([True, True, True, True, True, False]),
+    ))
+    anc0 = empty_anchors((W - 1) * B)
+    anc = harvest_anchors(m, anc0, B, per_eviction=B)
+    anc_np = {
+        "cam": np.asarray(anc.cam_idx),
+        "xyz": np.asarray(anc.xyz),
+        "uv": np.asarray(anc.uv),
+        "valid": np.asarray(anc.valid),
+    }
+    obs = m.obs
+    want = {}
+    for r in range(obs.valid.shape[0]):
+        pt = int(obs.pt_idx[r])
+        cam = int(obs.cam_idx[r])
+        if pt < B and cam >= 2:
+            want[(cam - 1, tuple(np.asarray(obs.uv[r])))] = tuple(
+                np.asarray(m.points[pt])
+            )
+    got = {
+        (int(anc_np["cam"][k]), tuple(anc_np["uv"][k])): tuple(
+            anc_np["xyz"][k]
+        )
+        for k in range(anc.valid.shape[0])
+        if anc_np["valid"][k]
+    }
+    # per_eviction=B caps the take; every harvested anchor must be a
+    # wanted one, and with capacity >= candidates they match exactly.
+    assert got and set(got).issubset(set(want))
+    for k in got:
+        assert got[k] == want[k]
+
+    # A second harvest: survivors shift their camera again and expire
+    # once the camera reaches slot 0 (gauge-fixed — useless row).
+    anc2 = harvest_anchors(m, anc, B, per_eviction=B)
+    cams2 = np.asarray(anc2.cam_idx)[np.asarray(anc2.valid)]
+    assert (cams2 >= 1).all()
+
+
+def test_anchor_factors_pull_camera_back():
+    """BA with anchors only (no live landmarks' worth of signal) must
+    correct a perturbed camera against the frozen points."""
+    from sift_parallel_optimization_tpu.models.ba import (
+        Anchors,
+        BAState,
+        bundle_adjust,
+    )
+    from sift_parallel_optimization_tpu.models.geometry import project
+
+    rng = np.random.default_rng(0)
+    K = jnp.array([[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]], jnp.float32)
+    pts = jnp.asarray(
+        rng.uniform(-1, 1, (24, 3)).astype(np.float32) + [0, 0, 6.0]
+    )
+    rv_true = jnp.asarray([[0.0, 0, 0], [0.02, -0.03, 0.01]], jnp.float32)
+    tv_true = jnp.asarray([[0.0, 0, 0], [0.4, -0.2, 0.1]], jnp.float32)
+    uv1, _ = project(pts, rv_true[1], tv_true[1], K)
+    anchors = Anchors(
+        cam_idx=jnp.full(24, 1, jnp.int32),
+        xyz=pts,
+        uv=uv1,
+        valid=jnp.ones(24, bool),
+    )
+    # Live BA problem: camera 0's own observations keep the normal path
+    # exercised; camera 1 is constrained ONLY by anchors.
+    uv0, _ = project(pts[:4], rv_true[0], tv_true[0], K)
+    obs = Observations(
+        cam_idx=jnp.zeros(4, jnp.int32),
+        pt_idx=jnp.arange(4, dtype=jnp.int32),
+        uv=uv0,
+        valid=jnp.ones(4, bool),
+    )
+    st = BAState(
+        rvecs=rv_true.at[1].add(jnp.asarray([0.03, -0.02, 0.01])),
+        tvecs=tv_true.at[1].add(jnp.asarray([0.08, -0.05, 0.06])),
+        points=pts[:4],
+    )
+    out = bundle_adjust(
+        st, obs, K, n_iters=10, damping=1e-4, solver="dense",
+        anchors=anchors,
+    )
+    err0 = float(jnp.abs(st.tvecs[1] - tv_true[1]).max())
+    err1 = float(jnp.abs(out.tvecs[1] - tv_true[1]).max())
+    assert err1 < 0.02 * err0, (err0, err1)
+    # Without anchors the perturbed camera has no constraints at all.
+    out_na = bundle_adjust(
+        st, obs, K, n_iters=10, damping=1e-4, solver="dense"
+    )
+    assert float(jnp.abs(out_na.tvecs[1] - tv_true[1]).max()) > 10 * err1
+
+
 def test_shift_moves_blocks_and_relabels():
     W, B = 3, 2
     m = _toy_map(W, B)
@@ -279,6 +389,20 @@ class TestWindowedLoopClosure:
 
     @pytest.mark.slow
     def test_loop_closure_beats_windowed_only(self, sequence):
+        """Round-4 update: anchor marginalization (harvest_anchors)
+        removed most windowed-only drift on this 18-frame revisit —
+        measured 2.33% of span without anchors vs 0.92% with (default),
+        at which point loop closure has nothing left to correct (0.92%
+        both ways). The gates now check each claim where it is real:
+
+        * the DEFAULT pipeline (anchors on) meets the GLOBAL 5% bar
+          windowed-only, and loop closure must not degrade it;
+        * the loop-closure machinery's >= 1.8x relative benefit is
+          demonstrated on the ablated (marginalize=False) run, where
+          drift actually accumulates — and at length it still matters
+          even WITH anchors (tests/test_long_sequence.py gates the
+          120-frame three-cycle at >= 1.8x with anchors on).
+        """
         from sift_parallel_optimization_tpu.utils.trajectory import (
             ate_rmse,
             camera_centers,
@@ -289,24 +413,29 @@ class TestWindowedLoopClosure:
         span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
 
         ates = {}
-        for lc in (False, True):
+        for marg, lc in (
+            (True, False), (True, True), (False, False), (False, True),
+        ):
             traj, m = run_odometry(
                 jax.random.key(1), feats, K, window=self.window,
-                loop_closure=lc,
+                loop_closure=lc, marginalize=marg,
             )
             # Constant memory holds with or without the archive.
             assert m.rvecs.shape[0] == self.window
             est = camera_centers(traj.rvecs, traj.tvecs)
-            ates[lc] = float(ate_rmse(est, gt))
+            ates[(marg, lc)] = float(ate_rmse(est, gt))
 
-        # Measured on this sequence: 2.3% of span windowed-only, 1.0% with
-        # loop closure (2.25x). Gate at >=1.8x and the global 5% bar.
-        assert ates[True] < 0.05 * span, (
-            f"loop-closed ATE {ates[True]} over span {span}"
-        )
-        assert ates[True] * 1.8 < ates[False], (
-            f"loop closure {ates[True]} vs windowed-only {ates[False]}"
-        )
+        # Default pipeline: anchored windowed-only meets the global 5%
+        # bar outright (measured 0.92%), loop closure within 10%.
+        assert ates[(True, False)] < 0.05 * span, (ates, span)
+        assert ates[(True, True)] < 0.05 * span, (ates, span)
+        assert ates[(True, True)] <= ates[(True, False)] * 1.1, ates
+        # Anchors are the reason: the ablation drifts >= 1.8x worse.
+        assert ates[(True, False)] * 1.8 < ates[(False, False)], ates
+        # Loop closure earns its keep on the drifting ablation
+        # (measured 2.33% -> 0.82%).
+        assert ates[(False, True)] * 1.8 < ates[(False, False)], ates
+        assert ates[(False, True)] < 0.05 * span, (ates, span)
 
     @pytest.mark.slow
     def test_checkpoint_resume_matches_uninterrupted(
