@@ -398,15 +398,13 @@ def bench_tracking(
     # Round 4: the default odometry path carries anchor marginalization
     # (models/odometry.harvest_anchors -> ba anchors=...); the honest
     # steady-state step includes the harvest and the anchor-augmented
-    # BA (dense solver only — the CG window resolves dense here anyway).
-    anchors0 = None
-    if solver != "cg":
-        from sift_parallel_optimization_tpu.models.ba import empty_anchors
-        from sift_parallel_optimization_tpu.models.odometry import (
-            harvest_anchors,
-        )
+    # BA (both solvers support anchors).
+    from sift_parallel_optimization_tpu.models.ba import empty_anchors
+    from sift_parallel_optimization_tpu.models.odometry import (
+        harvest_anchors,
+    )
 
-        anchors0 = empty_anchors((W - 1) * B)
+    anchors0 = empty_anchors((W - 1) * B)
 
     def chain(n):
         @jax.jit

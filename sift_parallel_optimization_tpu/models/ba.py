@@ -651,6 +651,7 @@ def assemble_implicit_blocks(
     fix_first_cam: bool = True,
     max_obs_per_point: int | None = None,
     plan: GroupPlan | None = None,
+    anchors: Anchors | None = None,
 ) -> ImplicitBlocks:
     """Linearize with analytic Jacobians DIRECTLY in the GroupPlan layout.
 
@@ -745,6 +746,35 @@ def assemble_implicit_blocks(
     jp_g = jnp.stack(
         [jnp.stack(row, -1) for row in jp], -2
     ).reshape(P, R_cap, 2, 3)
+
+    if anchors is not None:
+        # Fixed-landmark anchor factors (see Anchors): camera-DOF-only,
+        # so they fold into hcc/bc BEFORE damping and the CG operator
+        # (schur_matvec reads hcc) picks them up with no other change.
+        with jax.default_matmul_precision("highest"):
+            ja, _jp_a, ra = _analytic_jacobians_core(
+                state.rvecs[anchors.cam_idx],
+                state.tvecs[anchors.cam_idx],
+                anchors.xyz,
+                anchors.uv,
+                anchors.valid,
+                K,
+            )
+            if huber_delta is not None:
+                hwa = _huber_weights(ra, huber_delta)[:, None, None]
+                ja = ja * jnp.sqrt(hwa)
+                ra = ra * jnp.sqrt(hwa[:, :, 0])
+            if fix_first_cam:
+                ja = ja * (anchors.cam_idx != 0)[:, None, None].astype(
+                    ja.dtype
+                )
+            oh_a = jax.nn.one_hot(anchors.cam_idx, C, dtype=ja.dtype)
+            hcc = hcc + jnp.einsum(
+                "mc,mkl->ckl", oh_a, jnp.einsum("mik,mil->mkl", ja, ja)
+            )
+            bc = bc - jnp.einsum(
+                "mc,mk->ck", oh_a, jnp.einsum("mik,mi->mk", ja, ra)
+            )
 
     hcc = _damp_blocks(hcc, damping)
     if fix_first_cam:
@@ -893,15 +923,10 @@ def ba_step(
     solver only) add camera-block information — see :class:`Anchors`.
     """
     if solver == "cg":
-        if anchors is not None:
-            raise NotImplementedError(
-                "anchors are a windowed-odometry (dense-solver) feature; "
-                "the CG path's window scenes resolve to 'dense'"
-            )
         blk = assemble_implicit_blocks(
             state, obs, K, damping=damping,
             huber_delta=huber_delta, fix_first_cam=fix_first_cam,
-            plan=plan,
+            plan=plan, anchors=anchors,
         )
         delta_c, delta_p = solve_schur_cg(
             blk, cg_iters=cg_iters, cg_tol=cg_tol
@@ -939,7 +964,8 @@ def bundle_adjust(
     observation grouping (make_group_plan) is computed once here and
     reused by every step — the layout depends only on the index
     structure, not on the evolving state. ``anchors``: optional
-    fixed-landmark factors (dense solver only; see :class:`Anchors`).
+    fixed-landmark factors, supported by both solvers (see
+    :class:`Anchors`).
     """
     solver = resolve_solver(
         state.rvecs.shape[0], state.points.shape[0], solver

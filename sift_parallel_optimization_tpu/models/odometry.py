@@ -582,7 +582,7 @@ def run_odometry(
 
     anc = None
     harvest_fn = None
-    if marginalize and solver != "cg":
+    if marginalize:
         from sift_parallel_optimization_tpu.models.ba import empty_anchors
 
         anc = empty_anchors((W - 1) * pts_per_frame)

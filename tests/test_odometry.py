@@ -150,6 +150,18 @@ def test_anchor_factors_pull_camera_back():
         st, obs, K, n_iters=10, damping=1e-4, solver="dense"
     )
     assert float(jnp.abs(out_na.tvecs[1] - tv_true[1]).max()) > 10 * err1
+    # The implicit-Schur CG solver supports anchors too and lands on the
+    # same fixed point as the dense solve.
+    out_cg = bundle_adjust(
+        st, obs, K, n_iters=10, damping=1e-4, solver="cg",
+        anchors=anchors,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cg.tvecs), np.asarray(out.tvecs), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cg.rvecs), np.asarray(out.rvecs), atol=1e-5
+    )
 
 
 def test_shift_moves_blocks_and_relabels():
