@@ -108,6 +108,22 @@ def residuals(state: BAState, obs: Observations, K: jax.Array) -> jax.Array:
     return jnp.where(obs.valid[:, None], r, 0.0)
 
 
+def anchor_residuals(
+    state: BAState, anchors: "Anchors", K: jax.Array
+) -> jax.Array:
+    """(A, 2) fixed-landmark reprojection residuals, zeroed on invalid
+    slots. The landmark position is the anchor's FROZEN constant, so the
+    residual depends only on the camera pose (see :class:`Anchors`)."""
+    r = jax.vmap(_residual_one, in_axes=(0, 0, 0, 0, None))(
+        state.rvecs[anchors.cam_idx],
+        state.tvecs[anchors.cam_idx],
+        anchors.xyz,
+        anchors.uv,
+        K,
+    )
+    return jnp.where(anchors.valid[:, None], r, 0.0)
+
+
 def rms_error(state: BAState, obs: Observations, K: jax.Array) -> jax.Array:
     r = residuals(state, obs, K)
     n = jnp.maximum(obs.count(), 1)
@@ -993,16 +1009,8 @@ def bundle_adjust(
     return lax.fori_loop(0, n_iters, body, state)
 
 
-def robust_cost(
-    state: BAState,
-    obs: Observations,
-    K: jax.Array,
-    huber_delta: float | None = None,
-) -> jax.Array:
-    """The scalar objective Gauss-Newton/LM minimizes: sum of (Huber)
-    losses over valid observations. Invalid slots contribute zero (their
-    residuals are zeroed by :func:`residuals`)."""
-    r = residuals(state, obs, K)                    # (M, 2)
+def _huber_sum(r: jax.Array, huber_delta: float | None) -> jax.Array:
+    """Sum of (Huber) losses over (N, 2) residual rows (zero rows -> 0)."""
     n2 = jnp.sum(r * r, axis=-1)
     if huber_delta is None:
         return 0.5 * jnp.sum(n2)
@@ -1011,6 +1019,27 @@ def robust_cost(
         n <= huber_delta, 0.5 * n2, huber_delta * (n - 0.5 * huber_delta)
     )
     return jnp.sum(hub)
+
+
+def robust_cost(
+    state: BAState,
+    obs: Observations,
+    K: jax.Array,
+    huber_delta: float | None = None,
+    anchors: Anchors | None = None,
+) -> jax.Array:
+    """The scalar objective Gauss-Newton/LM minimizes: sum of (Huber)
+    losses over valid observations. Invalid slots contribute zero (their
+    residuals are zeroed by :func:`residuals`). When ``anchors`` is
+    given, their fixed-landmark losses are included — the objective must
+    match what the step linearizes, or LM's accept test would accept
+    steps the anchored problem rejects (and vice versa)."""
+    c = _huber_sum(residuals(state, obs, K), huber_delta)
+    if anchors is not None:
+        c = c + _huber_sum(
+            anchor_residuals(state, anchors, K), huber_delta
+        )
+    return c
 
 
 def bundle_adjust_lm(
@@ -1030,6 +1059,7 @@ def bundle_adjust_lm(
     cg_tol: float = 1e-8,
     max_obs_per_point: int | None = None,
     rel_tol: float = 1e-6,
+    anchors: Anchors | None = None,
 ) -> BAState:
     """Adaptive Levenberg-Marquardt: accept/reject with lambda up/down.
 
@@ -1050,6 +1080,12 @@ def bundle_adjust_lm(
     no descent direction at any damping), or when the ``max_iters``
     budget is spent. ``lambda_min`` only floors the damping on accepted
     steps.
+
+    ``anchors``: optional fixed-landmark factors (:class:`Anchors`).
+    They enter BOTH the trial-step normal equations and the accept-test
+    objective (:func:`robust_cost` with anchors) — evaluating the
+    objective without them would make LM accept steps the anchored
+    problem rejects, the round-4 inconsistency flagged in ROADMAP.
     """
     solver = resolve_solver(
         state.rvecs.shape[0], state.points.shape[0], solver
@@ -1061,7 +1097,7 @@ def bundle_adjust_lm(
             max_obs_per_point,
         )
 
-    c0 = robust_cost(state, obs, K, huber_delta)
+    c0 = robust_cost(state, obs, K, huber_delta, anchors=anchors)
 
     def cond(carry):
         i, _st, lam, _c, done = carry
@@ -1078,8 +1114,9 @@ def bundle_adjust_lm(
             cg_iters=cg_iters,
             cg_tol=cg_tol,
             plan=plan,
+            anchors=anchors,
         )
-        c_new = robust_cost(trial, obs, K, huber_delta)
+        c_new = robust_cost(trial, obs, K, huber_delta, anchors=anchors)
         accept = jnp.isfinite(c_new) & (c_new < c)
         done = accept & (c - c_new <= rel_tol * jnp.maximum(c, 1e-30))
         st = jax.tree.map(

@@ -164,6 +164,73 @@ def test_anchor_factors_pull_camera_back():
     )
 
 
+def test_lm_with_anchors_is_anchor_aware():
+    """Adaptive LM must linearize AND accept against the anchored
+    objective (round-4 ROADMAP item: the accept test previously had no
+    anchor path at all). Camera 1 is constrained ONLY by anchors, so an
+    anchor-blind LM cannot correct it; robust_cost(anchors=...) is the
+    objective the loop must monotonically decrease."""
+    from sift_parallel_optimization_tpu.models.ba import (
+        Anchors,
+        BAState,
+        bundle_adjust_lm,
+        robust_cost,
+    )
+    from sift_parallel_optimization_tpu.models.geometry import project
+
+    rng = np.random.default_rng(0)
+    K = jnp.array([[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]], jnp.float32)
+    pts = jnp.asarray(
+        rng.uniform(-1, 1, (24, 3)).astype(np.float32) + [0, 0, 6.0]
+    )
+    rv_true = jnp.asarray([[0.0, 0, 0], [0.02, -0.03, 0.01]], jnp.float32)
+    tv_true = jnp.asarray([[0.0, 0, 0], [0.4, -0.2, 0.1]], jnp.float32)
+    uv1, _ = project(pts, rv_true[1], tv_true[1], K)
+    anchors = Anchors(
+        cam_idx=jnp.full(24, 1, jnp.int32),
+        xyz=pts,
+        uv=uv1,
+        valid=jnp.ones(24, bool),
+    )
+    uv0, _ = project(pts[:4], rv_true[0], tv_true[0], K)
+    obs = Observations(
+        cam_idx=jnp.zeros(4, jnp.int32),
+        pt_idx=jnp.arange(4, dtype=jnp.int32),
+        uv=uv0,
+        valid=jnp.ones(4, bool),
+    )
+    st = BAState(
+        rvecs=rv_true.at[1].add(jnp.asarray([0.03, -0.02, 0.01])),
+        tvecs=tv_true.at[1].add(jnp.asarray([0.08, -0.05, 0.06])),
+        points=pts[:4],
+    )
+    out = bundle_adjust_lm(
+        st, obs, K, max_iters=15, solver="dense", anchors=anchors
+    )
+    err0 = float(jnp.abs(st.tvecs[1] - tv_true[1]).max())
+    err1 = float(jnp.abs(out.tvecs[1] - tv_true[1]).max())
+    assert err1 < 0.02 * err0, (err0, err1)
+    # The anchored objective decreased (the accept test saw the anchors:
+    # obs-only cost here is ~0 throughout, so any decrease is anchor
+    # signal).
+    c_in = float(robust_cost(st, obs, K, anchors=anchors))
+    c_out = float(robust_cost(out, obs, K, anchors=anchors))
+    assert c_out < 1e-3 * c_in, (c_in, c_out)
+    # Anchor-blind LM sees a ~zero objective (obs-only residuals are
+    # consistent), immediately converges, and leaves camera 1 wrong —
+    # the discriminating behavior the anchors= path exists to fix.
+    out_blind = bundle_adjust_lm(st, obs, K, max_iters=15, solver="dense")
+    assert float(jnp.abs(out_blind.tvecs[1] - tv_true[1]).max()) > 10 * err1
+    # Huber branch of the anchored objective compiles and decreases too.
+    out_h = bundle_adjust_lm(
+        st, obs, K, max_iters=15, solver="dense", anchors=anchors,
+        huber_delta=4.0,
+    )
+    ch_in = float(robust_cost(st, obs, K, 4.0, anchors=anchors))
+    ch_out = float(robust_cost(out_h, obs, K, 4.0, anchors=anchors))
+    assert ch_out < 1e-2 * ch_in, (ch_in, ch_out)
+
+
 def test_shift_moves_blocks_and_relabels():
     W, B = 3, 2
     m = _toy_map(W, B)
