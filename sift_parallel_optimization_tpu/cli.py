@@ -190,6 +190,7 @@ def _cmd_sfm(args) -> int:
             traj, m = run_odometry(
                 jax.random.key(args.seed), feats, K, window=args.window,
                 loop_closure=args.loop_closure,
+                archive_policy=args.archive_policy,
                 marginalize=not args.no_marginalize,
             )
             est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
@@ -275,6 +276,7 @@ def _cmd_sfm(args) -> int:
         traj, m = run_odometry(
             jax.random.key(args.seed), feats, K, window=args.window,
             loop_closure=args.loop_closure,
+            archive_policy=args.archive_policy,
             marginalize=not args.no_marginalize,
         )
         est_rvecs, est_tvecs = traj.rvecs, traj.tvecs
@@ -422,6 +424,12 @@ def main(argv=None) -> int:
     s.add_argument("--loop-closure", action="store_true",
                    help="with --window: archive evicted landmarks and "
                         "correct revisits via pose-graph optimization")
+    s.add_argument("--archive-policy", choices=("fifo", "coverage"),
+                   default="fifo",
+                   help="with --loop-closure: ring-overwrite rule — "
+                        "'fifo' (by age) or 'coverage' (overwrite the "
+                        "spatially most redundant block; place memory "
+                        "survives long revisit periods on small rings)")
     s.add_argument("--no-marginalize", action="store_true",
                    help="with --window: disable anchor marginalization "
                         "(fixed-landmark factors for evicted blocks; on "

@@ -120,6 +120,78 @@ def archive_evicted_block(
     )
 
 
+def coverage_write_slot(
+    arch: LandmarkArchive,
+    m: SfmMap,
+    birth_frame,
+    min_gap: int,
+    pts_per_frame: int,
+) -> jax.Array:
+    """Pick the archive BLOCK to overwrite by age-stratified redundancy.
+
+    FIFO eviction forgets by AGE: a ring of ``A/B`` blocks wraps after
+    that many evictions, so a revisit later than one ring period finds
+    its place memory overwritten (ROADMAP "archive ring capacity auto
+    -sizing"). Pure spatial redundancy is NOT the fix — measured on the
+    120-frame three-cycle (8-block ring): the window trail evicts blocks
+    spatially NEAR the current pose, so a revisit "refreshes" the old
+    block covering that place with a fresh birth, and the loop proposer
+    (which requires ``birth <= frame - min_gap``) finds nothing to match
+    — 1 accepted loop vs FIFO's 5. The policy must therefore protect
+    OLD coverage:
+
+    * a block is OLD if its birth precedes ``birth_frame - min_gap``
+      (the same age the loop proposer requires — old blocks ARE the
+      loop fodder);
+    * a YOUNG block is redundant if any other occupied block or the
+      incoming block covers its place — young trail refreshes young
+      trail, and a young block sitting on old coverage is expendable;
+    * an OLD block can only be made redundant by another OLD block
+      (two old blocks covering one place keep one); the incoming
+      (youngest) block never displaces old memory;
+    * among equals, the YOUNGER of a redundant pair is evicted
+      (smaller score via a -1e-5*birth tie-break), keeping the largest
+      achievable loop gap;
+    * empty blocks (score -inf side) are filled first in index order,
+      which reproduces FIFO during initial fill.
+
+    O((A/B)^2) centroid distances per eviction — 64x64 at the default
+    sizing, negligible next to the window BA. Fully on device (no host
+    sync); the returned i32 block index feeds
+    :func:`archive_evicted_block` as its ``write_slot`` (block k lands
+    at offset k*B, and k < A/B keeps the mod a no-op).
+    (No reference analogue — north-star long-sequence robustness; the
+    closest reference cousin is the `is_initialized` state-reset guard,
+    /root/reference/GaussDePyramid-MPI.h:87-100.)
+    """
+    B = pts_per_frame
+    nb = arch.valid.shape[0] // B
+    big = jnp.float32(1e30)
+    pos = arch.positions.reshape(nb, B, 3)
+    val = arch.valid.reshape(nb, B).astype(jnp.float32)
+    cnt = val.sum(-1)
+    cent = (pos * val[..., None]).sum(1) / jnp.maximum(cnt, 1.0)[:, None]
+    occupied = cnt > 0                                     # (nb,)
+    bb = arch.birth.reshape(nb, B)[:, 0]                   # (nb,) i32
+    old = occupied & (
+        bb <= jnp.asarray(birth_frame, jnp.int32) - min_gap
+    )
+    iv = m.pt_valid[:B].astype(jnp.float32)
+    icent = (m.points[:B] * iv[:, None]).sum(0) / jnp.maximum(
+        iv.sum(), 1.0
+    )
+    d2 = jnp.sum((cent[:, None] - cent[None]) ** 2, -1)    # (nb, nb)
+    # c may mark b redundant unless b is OLD and c is not.
+    allow = occupied[None, :] & ~(old[:, None] & ~old[None, :])
+    d2 = jnp.where(allow, d2, big) + jnp.eye(nb, dtype=d2.dtype) * big
+    d_in = jnp.sum((cent - icent) ** 2, -1)
+    d_in = jnp.where((iv.sum() > 0) & ~old, d_in, big)
+    novelty = jnp.minimum(d2.min(axis=1), d_in)
+    score = novelty - 1e-5 * bb.astype(jnp.float32)
+    score = jnp.where(occupied, score, -big)
+    return jnp.argmin(score).astype(jnp.int32)
+
+
 class ArchiveLoop(NamedTuple):
     rvec: jax.Array       # (3,) absolute world->cam PnP pose
     tvec: jax.Array       # (3,)
@@ -491,6 +563,7 @@ def run_odometry(
     loop_cooldown: int = 3,
     max_loops: int = 8,
     archive_size: int | None = None,
+    archive_policy: str = "fifo",
     pgo_iters: int = 15,
     return_info: bool = False,
     checkpoint_dir: str | None = None,
@@ -531,7 +604,12 @@ def run_odometry(
     cases). ``loop_cooldown`` suppresses acceptances for that many
     frames after one, so one revisit yields one constraint, not a
     burst. ``archive_size`` (landmark slots) defaults to 64 eviction
-    blocks. Loop acceptance is DEVICE-SIDE (:class:`LoopBuffer`): the
+    blocks. ``archive_policy`` picks the ring-overwrite rule once the
+    archive is full: "fifo" (overwrite by age — one ring period of
+    memory) or "coverage" (overwrite the spatially most redundant block
+    — :func:`coverage_write_slot`; place memory survives any number of
+    revisits of distinct regions regardless of ring size). Loop
+    acceptance is DEVICE-SIDE (:class:`LoopBuffer`): the
     steady-state tracking loop performs zero per-frame host reads; the
     buffer is fetched once at end of run, and a saturated buffer
     (``max_loops`` hit while closures were still being proposed) is
@@ -604,11 +682,23 @@ def run_odometry(
             loop_min_gap = W + 1
         if archive_size is None:
             archive_size = 64 * pts_per_frame
+        if archive_policy not in ("fifo", "coverage"):
+            raise ValueError(
+                f"archive_policy must be 'fifo' or 'coverage', "
+                f"got {archive_policy!r}"
+            )
         arch = empty_archive(archive_size)
         buf = empty_loop_buffer(max_loops)
         arch_fn = jax.jit(
             functools.partial(
                 archive_evicted_block, pts_per_frame=pts_per_frame
+            )
+        )
+        cov_fn = jax.jit(
+            functools.partial(
+                coverage_write_slot,
+                min_gap=loop_min_gap,
+                pts_per_frame=pts_per_frame,
             )
         )
 
@@ -643,6 +733,10 @@ def run_odometry(
             "pts_per_frame": pts_per_frame,
             "loop_closure": bool(loop_closure),
             "archive_size": int(archive_size or 0),
+            # The overwrite policy changes which blocks survive, hence
+            # the trajectory — resuming under a different one would
+            # silently diverge from the uninterrupted run.
+            "archive_policy": archive_policy if loop_closure else "",
             "max_loops": max_loops,
             "desc_capacity": int(features[0].descriptors.shape[0]),
             # Anchor capacity changes the checkpoint pytree AND the BA
@@ -698,10 +792,13 @@ def run_odometry(
             frozen_r.append(m.rvecs[0])
             frozen_t.append(m.tvecs[0])
             if loop_closure:
+                wslot = (
+                    cov_fn(arch, m, jnp.asarray(i - W, jnp.int32))
+                    if archive_policy == "coverage"
+                    else jnp.asarray(i - W, jnp.int32)
+                )
                 arch = arch_fn(
-                    arch, m,
-                    jnp.asarray(i - W, jnp.int32),
-                    jnp.asarray(i - W, jnp.int32),
+                    arch, m, wslot, jnp.asarray(i - W, jnp.int32)
                 )
             if harvest_fn is not None:
                 anc = harvest_fn(m, anc)

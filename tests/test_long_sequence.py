@@ -85,10 +85,10 @@ def test_120_frame_three_cycle_revisit():
     n, period, window = 120, 40, 6
     feats, K, gt_rvecs, gt_tvecs = _render_cycles(256, n, period)
     # The default 64-block archive wraps ~1.8x over 114 evictions — the
-    # ring is exercised in anger while still REMEMBERING a full cycle
-    # (an 8-block ring only recalls the last 8 evicted frames and
-    # cannot match the previous cycle at period 40 — measured 5.9% of
-    # span, worse than windowed-only).
+    # ring is exercised in anger while still REMEMBERING a full cycle.
+    # An 8-block FIFO ring recalls only the last 8 evicted frames, so
+    # its loops are short-range trail constraints (measured this config:
+    # 5 loops, 2.14% of span — barely under windowed-only's 2.33%).
     ates, span, m, info = _ates(
         feats, K, gt_rvecs, gt_tvecs, window, max_loops=32,
     )
@@ -102,6 +102,25 @@ def test_120_frame_three_cycle_revisit():
     # Accuracy: global 5% gate + >= 1.8x improvement over windowed-only.
     assert ates[True] < 0.05 * span, (ates, span)
     assert ates[True] * 1.8 < ates[False], (ates, span)
+    # Age-stratified coverage eviction (archive_policy="coverage") must
+    # make the same 8x-UNDERSIZED ring match the full-size ring: old
+    # place memory survives any revisit period, so full-cycle loops
+    # (gap ~40-100 frames) are still proposed. Measured: 10 loops,
+    # 0.61% of span vs the full ring's 0.54% and FIFO-8's 2.14%.
+    traj_c, _m, info_c = run_odometry(
+        jax.random.key(1), feats, K, window=window, loop_closure=True,
+        archive_size=8 * 128, archive_policy="coverage", max_loops=32,
+        return_info=True,
+    )
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        ate_rmse,
+        camera_centers,
+    )
+
+    gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+    ate_c = float(ate_rmse(camera_centers(traj_c.rvecs, traj_c.tvecs), gt))
+    assert len(info_c["loop_frames"]) >= 6, info_c
+    assert ate_c < 0.012 * span, (ate_c, span)
 
 
 @pytest.mark.slow

@@ -164,6 +164,84 @@ def test_anchor_factors_pull_camera_back():
     )
 
 
+def test_coverage_eviction_is_age_stratified():
+    """coverage_write_slot must (a) fill empty blocks first in index
+    order, (b) recycle a YOUNG block sitting on old coverage rather
+    than the old memory itself (the measured failure of pure spatial
+    redundancy: refreshing a revisited place wipes its loop-closable
+    birth — see the function docstring), (c) never let the incoming
+    block displace OLD memory, and (d) evict the younger of a
+    co-located old pair."""
+    from types import SimpleNamespace
+
+    from sift_parallel_optimization_tpu.models.odometry import (
+        coverage_write_slot,
+        empty_archive,
+    )
+
+    B, nb, gap = 3, 4, 5
+    centers = np.array(
+        [[0, 0, 0], [10, 0, 0], [0, 10, 0], [10, 10, 0]], np.float32
+    )
+
+    def block(c):
+        return jnp.asarray(c + 0.1 * np.eye(3, dtype=np.float32))
+
+    def write(a, slot, c, birth):
+        pos = a.positions.at[slot * B:(slot + 1) * B].set(block(c))
+        val = a.valid.at[slot * B:(slot + 1) * B].set(True)
+        bth = a.birth.at[slot * B:(slot + 1) * B].set(birth)
+        return a._replace(positions=pos, valid=val, birth=bth)
+
+    def slot(a, pts, fi):
+        return int(coverage_write_slot(a, pts, fi, gap, B))
+
+    incoming = SimpleNamespace(
+        points=block(centers[0]), pt_valid=jnp.ones(B, bool)
+    )
+    # (a) Fill phase: empty blocks are chosen in index order (== FIFO).
+    arch = empty_archive(B * nb)
+    for k in range(nb):
+        assert slot(arch, incoming, k) == k
+        arch = write(arch, k, centers[k], birth=k)
+    # (b)+(c) Blocks 0/1 OLD (births 0/1) at regions 0/1; blocks 2/3
+    # YOUNG (births 12/13) at region 0 (on old coverage) and region 3.
+    # Incoming at region 0, frame 18 (old = birth <= 13... use 16:
+    # old = birth <= 11 -> 0/1 old, 2/3 young). The young block 2
+    # duplicating OLD block 0's place is the redundant one; old block 0
+    # survives with its loop-closable birth.
+    arch = empty_archive(B * nb)
+    arch = write(arch, 0, centers[0], birth=0)
+    arch = write(arch, 1, centers[1], birth=1)
+    arch = write(arch, 2, centers[0], birth=12)
+    arch = write(arch, 3, centers[3], birth=13)
+    assert slot(arch, incoming, 16) == 2
+    # Even with block 2 moved to distinct territory, the incoming
+    # block near OLD block 0 must not displace it: the eviction falls
+    # on a young block (the nearest-to-anything young one), never 0/1.
+    arch2 = write(arch, 2, centers[2], birth=12)
+    assert slot(arch2, incoming, 16) in (2, 3)
+    # (d) Co-located OLD pair (births 3 and 7, region 2): the YOUNGER
+    # (birth 7) is evicted, keeping the largest achievable loop gap.
+    arch3 = empty_archive(B * nb)
+    arch3 = write(arch3, 0, centers[0], birth=0)
+    arch3 = write(arch3, 1, centers[2], birth=3)
+    arch3 = write(arch3, 2, centers[2], birth=7)
+    arch3 = write(arch3, 3, centers[3], birth=2)
+    far = SimpleNamespace(
+        points=block(np.float32([50, 50, 0])),
+        pt_valid=jnp.ones(B, bool),
+    )
+    assert slot(arch3, far, 30) == 2
+    # All-invalid incoming block must not bias the choice (centroid 0
+    # would sit on block 0): same co-located-pair eviction.
+    empty_in = SimpleNamespace(
+        points=jnp.zeros((B, 3), jnp.float32),
+        pt_valid=jnp.zeros(B, bool),
+    )
+    assert slot(arch3, empty_in, 30) == 2
+
+
 def test_lm_with_anchors_is_anchor_aware():
     """Adaptive LM must linearize AND accept against the anchored
     objective (round-4 ROADMAP item: the accept test previously had no
