@@ -96,7 +96,9 @@ def archive_evicted_block(
 
     ``write_slot`` counts evictions (traced); the block lands at ring
     offset (write_slot * B) mod A. One compiled executable serves every
-    eviction (dynamic_update_slice with a traced offset).
+    eviction (dynamic_update_slice with a traced offset). Under the
+    coverage policy, ``write_slot`` is the block index chosen by
+    :func:`coverage_write_slot` (< A/B, so the mod is a no-op).
     """
     from jax import lax
 
@@ -686,6 +688,15 @@ def run_odometry(
             raise ValueError(
                 f"archive_policy must be 'fifo' or 'coverage', "
                 f"got {archive_policy!r}"
+            )
+        if (
+            archive_policy == "coverage"
+            and archive_size % pts_per_frame != 0
+        ):
+            raise ValueError(
+                "archive_policy='coverage' needs archive_size to be a "
+                f"multiple of pts_per_frame ({pts_per_frame}); got "
+                f"{archive_size}"
             )
         arch = empty_archive(archive_size)
         buf = empty_loop_buffer(max_loops)
