@@ -34,6 +34,18 @@ def test_features_from_pgm(tmp_path, capsys, rng):
     assert main(["features", "--image", str(p), "--max-keypoints", "32"]) == 0
 
 
+def test_sfm_archive_policy_flag_validated():
+    # argparse rejects unknown policies before any compute; the valid
+    # choices reach run_odometry(archive_policy=...) (wiring tested at
+    # the library level in tests/test_odometry.py /
+    # tests/test_long_sequence.py).
+    with pytest.raises(SystemExit):
+        main([
+            "sfm", "--window", "4", "--loop-closure",
+            "--archive-policy", "bogus",
+        ])
+
+
 def test_bench_matching_writes_jsonl(tmp_path):
     out = tmp_path / "m.jsonl"
     rc = main([
