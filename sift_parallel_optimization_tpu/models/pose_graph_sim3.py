@@ -43,10 +43,13 @@ round-3 defect.
 Same TPU-first shape as models/pose_graph.py: fixed-capacity masked edge
 list, autodiff per-edge Jacobians (7-dim blocks), segment-sum normal
 equations, damped GN in lax.fori_loop, node-0 gauge fixed (pose AND
-scale — monocular gauge freedom is similarity, not rigid). Dense
-(7N, 7N) solve: the odometry trajectories this serves are hundreds of
-nodes; the matrix-free CG treatment of pose_graph.py transfers verbatim
-if thousands are ever needed.
+scale — monocular gauge freedom is similarity, not rigid). Two solvers,
+auto-dispatched by node count exactly like optimize_pose_graph: the
+dense (7N, 7N) solve (bit-stable, best at small N) and the matrix-free
+block-Jacobi-preconditioned CG (O(E) memory — no (N, N, 7, 7) cross
+block anywhere), so thousand-frame trajectories stay O(n) on the
+DEFAULT loop-closure path (round-5: the round-4 version materialized
+the dense cross tensor unconditionally, ~196 MB at n=1000).
 """
 
 from __future__ import annotations
@@ -227,10 +230,10 @@ def _edge_jacobians(poses: Sim3Poses, edges: Sim3Edges):
 
 
 @_f32_precision
-def sim3_step(
-    poses: Sim3Poses, edges: Sim3Edges, damping: float = 1e-3
-) -> Sim3Poses:
-    """One damped Gauss-Newton step (dense (7N, 7N) solve, node-0 gauge)."""
+def _sim3_dense_delta(
+    poses: Sim3Poses, edges: Sim3Edges, damping: float
+) -> jax.Array:
+    """Dense (7N, 7N) solve -> (N, 7) update (node-0 gauge)."""
     N = poses.rvecs.shape[0]
     ji, jj, r = _edge_jacobians(poses, edges)
 
@@ -260,7 +263,360 @@ def sim3_step(
     m0 = jnp.concatenate([jnp.zeros(7), jnp.ones(7 * (N - 1))])
     hd_dense = hd_dense * m0[:, None] * m0[None, :] + jnp.diag(1.0 - m0)
     b = b.at[0].set(0.0)
-    dx = jnp.linalg.solve(hd_dense, b.reshape(-1)).reshape(N, 7)
+    return jnp.linalg.solve(hd_dense, b.reshape(-1)).reshape(N, 7)
+
+
+# ---------------------------------------------------------------------------
+# Implicit CG path (no dense (N, N, 7, 7) cross block — O(E) memory)
+# ---------------------------------------------------------------------------
+
+
+class ImplicitSim3(NamedTuple):
+    """Per-GN-step linearization for the matrix-free Sim(3) solve.
+
+    The 7-DOF port of models/pose_graph.ImplicitPgo: H = J^T J is only
+    ever APPLIED through per-edge products, node assignment is carried
+    as one-hot (E, N) tensors so the matvec's gather/scatter are dense
+    MXU matmuls (TPU scatters are sort-based and lose — the round-2 BA
+    measurement), and the block-Jacobi preconditioner is the damped
+    per-node (7, 7) diagonal block.
+    """
+
+    ji: jax.Array         # (E, 7, 7) weighted gauge-masked d r / d pose_i
+    jj: jax.Array         # (E, 7, 7)
+    oh_i: jax.Array       # (E, N) one-hot source node
+    oh_j: jax.Array       # (E, N) one-hot target node
+    damp_vec: jax.Array   # (N, 7) Marquardt damping diagonal addition
+    minv: jax.Array       # (N, 7, 7) block-Jacobi preconditioner
+    b: jax.Array          # (N, 7) right-hand side (node 0 zeroed)
+
+
+@_f32_precision
+def assemble_sim3_implicit(
+    poses: Sim3Poses, edges: Sim3Edges, damping: float = 1e-3
+) -> ImplicitSim3:
+    """Linearize for the matrix-free CG solve (no N x N block anywhere)."""
+    N = poses.rvecs.shape[0]
+    ji, jj, r = _edge_jacobians(poses, edges)
+    oh_i = jax.nn.one_hot(edges.i, N, dtype=jnp.float32)
+    oh_j = jax.nn.one_hot(edges.j, N, dtype=jnp.float32)
+    hii = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    )
+    hjj = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    hdiag = hii + hjj
+    b = -(
+        jax.ops.segment_sum(jnp.einsum("eab,ea->eb", ji, r), edges.i, N)
+        + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
+    )
+    b = b.at[0].set(0.0)
+    d = jnp.diagonal(hdiag, axis1=-2, axis2=-1)
+    damp_vec = damping * d + 1e-6
+    prec = hdiag + damp_vec[..., None] * jnp.eye(7)
+    prec = prec.at[0].set(jnp.eye(7))  # gauge: node-0 block is identity
+    return ImplicitSim3(
+        ji=ji, jj=jj, oh_i=oh_i, oh_j=oh_j,
+        damp_vec=damp_vec, minv=jnp.linalg.inv(prec), b=b,
+    )
+
+
+def sim3_matvec(blk: ImplicitSim3, x: jax.Array) -> jax.Array:
+    """(damped H) x through per-edge products: (N, 7) -> (N, 7)."""
+    xi = jnp.einsum("en,nk->ek", blk.oh_i, x)           # (E, 7)
+    xj = jnp.einsum("en,nk->ek", blk.oh_j, x)
+    t = (
+        jnp.einsum("eab,eb->ea", blk.ji, xi)
+        + jnp.einsum("eab,eb->ea", blk.jj, xj)
+    )                                                    # (E, 7) = J x
+    out = (
+        jnp.einsum("en,eab,ea->nb", blk.oh_i, blk.ji, t)
+        + jnp.einsum("en,eab,ea->nb", blk.oh_j, blk.jj, t)
+    )
+    out = out + blk.damp_vec * x
+    # Node-0 gauge block is the identity (its Jacobians are masked, so
+    # the edge products and x_0 columns are already zero there).
+    return out.at[0].set(x[0])
+
+
+@_f32_precision
+def solve_sim3_cg(
+    blk: ImplicitSim3, cg_iters: int = 100, cg_tol: float = 1e-8
+) -> jax.Array:
+    """Block-Jacobi preconditioned CG -> (N, 7) update (matrix-free).
+
+    Same adaptive-stop structure as models/pose_graph.solve_pgo_cg: run
+    to ``cg_tol`` on the preconditioned residual or ``cg_iters``,
+    whichever first.
+    """
+
+    def prec(v):
+        return jnp.einsum("nkl,nl->nk", blk.minv, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    b = blk.b
+    x = jnp.zeros_like(b)
+    r = b
+    z = prec(r)
+    p = z
+    rz = dot(r, z)
+    thresh = cg_tol * rz
+
+    def cond(carry):
+        i, _x, _r, _p, rz = carry
+        return (i < cg_iters) & (rz > thresh)
+
+    def body(carry):
+        i, x, r, p, rz = carry
+        ap = sim3_matvec(blk, p)
+        pap = dot(p, ap)
+        alpha = jnp.where(pap > 1e-20, rz / jnp.maximum(pap, 1e-20), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 1e-20, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    _, x, _, _, _ = lax.while_loop(cond, body, (0, x, r, p, rz))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Chain solver: exact O(N) block-tridiagonal + Woodbury loop correction
+# ---------------------------------------------------------------------------
+#
+# The graphs the default loop-closure corrector actually sees are an
+# odometry CHAIN (edge (i, i+1) for every i) plus a handful of loop
+# edges. On such graphs plain preconditioned CG stalls: the loop
+# discrepancy must diffuse along a 1-D chain whose Laplacian condition
+# grows as N^2, so the global scale-ramp mode converges at ~N iterations
+# regardless of the block-Jacobi preconditioner (measured round 5:
+# 30 GN x 200 CG iterations left log_s[-1] at 0.30 of the true 0.41 on
+# the 1,000-node ramp). The standard SLAM exploitation of this sparsity
+# is exact: the chain part of H is block-tridiagonal, solvable in O(N)
+# by block-Thomas elimination (two lax.scan sweeps of (7, 7) solves),
+# and the L loop edges are a rank-7L correction handled by the Woodbury
+# identity:
+#
+#   H = T + U^T U,   H^-1 b = T^-1 b - T^-1 U^T (I + U T^-1 U^T)^-1 U T^-1 b
+#
+# with U the (7L, 7N) stacked loop-edge Jacobian rows. One factorization
+# per GN step solves 1 + 7L right-hand sides in the same two sweeps; the
+# (7L, 7L) capacitance solve is dense but tiny. Exact (same fixed point
+# as the dense solver, tested), O(N + L^2) memory, O(N L) time.
+
+
+class ChainSim3(NamedTuple):
+    """Per-GN-step linearization for the chain+Woodbury solve."""
+
+    diag: jax.Array     # (N, 7, 7) damped tridiagonal diagonal blocks
+    off: jax.Array      # (N-1, 7, 7) block (i, i+1) of the chain part
+    u_ji: jax.Array     # (L, 7, 7) off-chain weighted d r / d pose_i
+    u_jj: jax.Array     # (L, 7, 7)
+    u_i: jax.Array      # (L,) i32 off-chain source nodes (0 if empty)
+    u_j: jax.Array      # (L,) i32
+    b: jax.Array        # (N, 7) right-hand side (node 0 zeroed)
+
+
+@_f32_precision
+def assemble_sim3_chain(
+    poses: Sim3Poses,
+    edges: Sim3Edges,
+    damping: float = 1e-3,
+    offchain_cap: int = 32,
+) -> ChainSim3:
+    """Split the edge list into tridiagonal chain part + low-rank rest.
+
+    Chain edges are detected structurally (j == i + 1, weight > 0); ALL
+    other valid edges are compacted into ``offchain_cap`` low-rank slots.
+    The caller must guarantee the true off-chain edge count fits the cap
+    (a traced count cannot gate inside jit) — ``correct_trajectory``
+    passes the host-known accepted-loop count.
+    """
+    N = poses.rvecs.shape[0]
+    ji, jj, r = _edge_jacobians(poses, edges)
+    valid = edges.weight > 0
+    chain = valid & (edges.j == edges.i + 1)
+    cf = chain.astype(ji.dtype)[:, None, None]
+
+    diag = jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    ) + jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    off = jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", ji, jj), edges.i, N
+    )[: N - 1]
+
+    # Gradient and Marquardt damping come from the FULL system (every
+    # valid edge), matching the dense solver's step exactly.
+    b = -(
+        jax.ops.segment_sum(jnp.einsum("eab,ea->eb", ji, r), edges.i, N)
+        + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
+    )
+    b = b.at[0].set(0.0)
+    hdiag_full = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    ) + jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    d = jnp.diagonal(hdiag_full, axis1=-2, axis2=-1)
+    # The off-chain edges' DIAGONAL contributions ride in the Woodbury
+    # term, so T's diagonal is chain + damping only.
+    diag = diag + (damping * d + 1e-6)[..., None] * jnp.eye(7)
+    diag = diag.at[0].set(jnp.eye(7))  # node-0 gauge block
+
+    # Compact off-chain edges into L static slots (valid-first argsort;
+    # empty slots carry zero Jacobians and node 0, contributing nothing).
+    loop = valid & ~chain
+    sel = jnp.argsort(~loop, stable=True)[:offchain_cap]
+    lf = loop[sel].astype(ji.dtype)[:, None, None]
+    return ChainSim3(
+        diag=diag, off=off,
+        u_ji=ji[sel] * lf, u_jj=jj[sel] * lf,
+        u_i=jnp.where(loop[sel], edges.i[sel], 0),
+        u_j=jnp.where(loop[sel], edges.j[sel], 0),
+        b=b,
+    )
+
+
+def _block_thomas_solve(diag, off, rhs):
+    """Solve the SPD block-tridiagonal system T X = RHS.
+
+    diag (N, 7, 7), off (N-1, 7, 7) = block (i, i+1), rhs (N, 7, k).
+    Two lax.scan sweeps of (7, 7+k) solves — O(N) work and memory, the
+    Kalman-smoother treatment of chain sparsity.
+    """
+    N, _, k = rhs.shape
+    off_prev = jnp.concatenate(
+        [jnp.zeros((1, 7, 7), diag.dtype), off], axis=0
+    )                                           # block (i-1, i) at row i
+    off_next = jnp.concatenate(
+        [off, jnp.zeros((1, 7, 7), diag.dtype)], axis=0
+    )                                           # block (i, i+1) at row i
+
+    def fwd(carry, inp):
+        g_prev, y_prev = carry                  # (7, 7), (7, k)
+        d_i, o_prev, o_next, b_i = inp
+        denom = d_i - o_prev.T @ g_prev
+        sol = jnp.linalg.solve(
+            denom,
+            jnp.concatenate([o_next, b_i - o_prev.T @ y_prev], axis=1),
+        )
+        g_i, y_i = sol[:, :7], sol[:, 7:]
+        return (g_i, y_i), (g_i, y_i)
+
+    init = (jnp.zeros((7, 7), diag.dtype), jnp.zeros((7, k), diag.dtype))
+    _, (g, y) = lax.scan(fwd, init, (diag, off_prev, off_next, rhs))
+
+    def bwd(x_next, inp):
+        g_i, y_i = inp
+        x_i = y_i - g_i @ x_next
+        return x_i, x_i
+
+    _, x_rev = lax.scan(
+        bwd, jnp.zeros((7, k), diag.dtype), (g, y), reverse=True
+    )
+    return x_rev
+
+
+@_f32_precision
+def solve_sim3_chain(blk: ChainSim3) -> jax.Array:
+    """Exact (N, 7) update via block-Thomas + Woodbury loop correction."""
+    N = blk.b.shape[0]
+    L = blk.u_i.shape[0]
+    # U^T as a dense (N, 7, 7L) multi-RHS block: loop slot l writes
+    # ji_l^T at node i_l's rows of column block l (distinct column
+    # blocks — no collisions; one-hot einsum keeps it an MXU matmul).
+    oh_i = jax.nn.one_hot(blk.u_i, N, dtype=blk.b.dtype)   # (L, N)
+    oh_j = jax.nn.one_hot(blk.u_j, N, dtype=blk.b.dtype)
+    ut = jnp.einsum("ln,lba->nalb", oh_i, blk.u_ji) + jnp.einsum(
+        "ln,lba->nalb", oh_j, blk.u_jj
+    )                                                       # (N,7,L,7)
+    rhs = jnp.concatenate(
+        [blk.b[..., None], ut.reshape(N, 7, L * 7)], axis=-1
+    )
+    x = _block_thomas_solve(blk.diag, blk.off, rhs)         # (N,7,1+7L)
+    tb, tu = x[..., 0], x[..., 1:]                          # (N,7),(N,7,7L)
+
+    def apply_u(m):
+        # U @ m for m (N, 7, k): gather rows at the loop nodes.
+        return (
+            jnp.einsum("lab,lbk->lak", blk.u_ji, m[blk.u_i])
+            + jnp.einsum("lab,lbk->lak", blk.u_jj, m[blk.u_j])
+        ).reshape(L * 7, -1)
+
+    s = jnp.eye(L * 7, dtype=blk.b.dtype) + apply_u(tu)     # capacitance
+    w = jnp.linalg.solve(s, apply_u(tb[..., None]))         # (7L, 1)
+    return tb - jnp.einsum("nak,k->na", tu, w[:, 0])
+
+
+# N above which "auto" prefers a scalable solver — same rationale and
+# threshold class as pose_graph.PGO_DENSE_LIMIT: the dense cross block
+# is N*N*49 f32 (12.8 MB at the threshold, growing quadratically) and
+# the replicated (7N, 7N) LU solve grows cubically, while the chain
+# solve stays O(N) and the CG matvec O(E).
+SIM3_DENSE_LIMIT = 256
+
+
+def chain_damping(n_nodes: int, damping: float) -> float:
+    """Length-aware Marquardt damping for long-chain graphs.
+
+    The damping term lambda * diag(H) suppresses update components along
+    eigendirections with eigenvalue below lambda * diag. A chain graph's
+    lowest structural mode (the global scale/translation ramp the loop
+    edges exist to fix) has eigenvalue ~ diag / N^2, so a fixed
+    lambda = 1e-4 FREEZES that mode once N >~ 100: measured on the
+    1,000-node scale-ramp problem, the EXACT chain solver at 1e-4 crept
+    (ls[-1] 0.28 of 0.41 after 20 GN iters) while 1e-6 converged in 3
+    (ATE 0.274 -> 0.027). Scaling lambda by (SIM3_DENSE_LIMIT / N)^2
+    keeps the damped spectrum's floor below the slowest physical mode at
+    any length while leaving the tuned small-N behavior untouched.
+    """
+    return damping * min(1.0, (SIM3_DENSE_LIMIT / max(n_nodes, 1)) ** 2)
+
+
+def resolve_sim3_solver(
+    n_nodes: int, solver: str = "auto", offchain_cap: int | None = None
+) -> str:
+    """"auto" keeps the bit-stable dense solve at small N; above the
+    limit it takes the exact chain+Woodbury solve when the caller vouches
+    for an off-chain edge cap (``offchain_cap``), else matrix-free CG
+    (structure-agnostic, but slow to diffuse loop corrections along long
+    chains — see the chain-solver comment block)."""
+    if solver != "auto":
+        return solver
+    if n_nodes <= SIM3_DENSE_LIMIT:
+        return "dense"
+    return "chain" if offchain_cap is not None else "cg"
+
+
+def sim3_step(
+    poses: Sim3Poses,
+    edges: Sim3Edges,
+    damping: float = 1e-3,
+    solver: str = "dense",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-8,
+    offchain_cap: int = 32,
+) -> Sim3Poses:
+    """One damped Gauss-Newton step (node-0 gauge; solver per docstring
+    of :func:`optimize_sim3_graph`)."""
+    if solver == "cg":
+        blk = assemble_sim3_implicit(poses, edges, damping)
+        dx = solve_sim3_cg(blk, cg_iters=cg_iters, cg_tol=cg_tol)
+    elif solver == "chain":
+        blk = assemble_sim3_chain(
+            poses, edges, damping, offchain_cap=offchain_cap
+        )
+        dx = solve_sim3_chain(blk)
+    else:
+        dx = _sim3_dense_delta(poses, edges, damping)
     return Sim3Poses(
         rvecs=poses.rvecs + dx[:, :3],
         tvecs=poses.tvecs + dx[:, 3:6],
@@ -273,10 +629,32 @@ def optimize_sim3_graph(
     edges: Sim3Edges,
     n_iters: int = 15,
     damping: float = 1e-4,
+    solver: str = "auto",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-8,
+    offchain_cap: int | None = None,
 ) -> Sim3Poses:
-    """Damped GN iterations inside lax.fori_loop (static shapes)."""
+    """Damped GN iterations inside lax.fori_loop (static shapes).
+
+    ``solver``: "dense" materializes the (N, N, 7, 7) cross block and
+    LU-solves the (7N, 7N) system (bit-stable, best at small N);
+    "chain" is the exact O(N) block-tridiagonal + Woodbury solve for
+    odometry-shaped graphs (chain + up to ``offchain_cap`` loop edges
+    — what keeps the DEFAULT ``correct_trajectory(sim3=True)`` path
+    O(n) for thousand-frame sequences); "cg" is the matrix-free
+    block-Jacobi-preconditioned CG (O(E) memory, structure-agnostic);
+    "auto" picks by node count and cap availability
+    (:func:`resolve_sim3_solver`), mirroring optimize_pose_graph.
+    """
+    solver = resolve_sim3_solver(
+        poses.rvecs.shape[0], solver, offchain_cap
+    )
 
     def body(_, p):
-        return sim3_step(p, edges, damping)
+        return sim3_step(
+            p, edges, damping, solver=solver,
+            cg_iters=cg_iters, cg_tol=cg_tol,
+            offchain_cap=32 if offchain_cap is None else offchain_cap,
+        )
 
     return lax.fori_loop(0, n_iters, body, poses)
