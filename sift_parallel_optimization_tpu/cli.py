@@ -134,6 +134,19 @@ def _cmd_sfm(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    if args.archive_policy != "fifo" and not (
+        args.window and args.loop_closure
+    ):
+        # Fail loudly like the in-library ValueError paths: the policy
+        # only exists inside the loop-closure archive (its help text
+        # says "with --loop-closure"), and silently ignoring it would
+        # let a typo'd invocation run a different configuration.
+        print(
+            "--archive-policy requires --window and --loop-closure "
+            "(the archive ring only exists in loop-closed odometry)"
+        )
+        return 2
+
     from sift_parallel_optimization_tpu.models.frontend import (
         extract_features,
         sift_config,

@@ -128,6 +128,7 @@ def coverage_write_slot(
     birth_frame,
     min_gap: int,
     pts_per_frame: int,
+    now_frame=None,
 ) -> jax.Array:
     """Pick the archive BLOCK to overwrite by age-stratified redundancy.
 
@@ -142,20 +143,26 @@ def coverage_write_slot(
     — 1 accepted loop vs FIFO's 5. The policy must therefore protect
     OLD coverage:
 
-    * a block is OLD if its birth precedes ``birth_frame - min_gap``
-      (the same age the loop proposer requires — old blocks ARE the
-      loop fodder);
+    * a block is OLD if its birth precedes ``now_frame - min_gap`` —
+      ``now_frame`` is the CURRENT frame (defaulting to ``birth_frame``
+      for compatibility), matching exactly the age at which the loop
+      proposer starts treating the block as loop fodder (round-5
+      ADVICE fix: classifying against the incoming block's birth,
+      ``birth_frame = now - W``, left a W-frame band of
+      already-proposable blocks unprotected);
     * a YOUNG block is redundant if any other occupied block or the
       incoming block covers its place — young trail refreshes young
       trail, and a young block sitting on old coverage is expendable;
     * an OLD block can only be made redundant by another OLD block
       (two old blocks covering one place keep one); the incoming
       (youngest) block never displaces old memory;
-    * among equals, the YOUNGER of a redundant pair is evicted
-      (smaller score via a -1e-5*birth tie-break), keeping the largest
-      achievable loop gap;
-    * empty blocks (score -inf side) are filled first in index order,
-      which reproduces FIFO during initial fill.
+    * among equals, the YOUNGER of a redundant pair is evicted —
+      exact lexicographic (min novelty, then max birth among
+      near-ties), scale-free at any coordinate magnitude (round-5
+      ADVICE fix: the old -1e-5*birth additive tie-break fell below
+      f32 resolution once novelty was large);
+    * empty blocks are filled first in index order, which reproduces
+      FIFO during initial fill.
 
     O((A/B)^2) centroid distances per eviction — 64x64 at the default
     sizing, negligible next to the window BA. Fully on device (no host
@@ -169,15 +176,14 @@ def coverage_write_slot(
     B = pts_per_frame
     nb = arch.valid.shape[0] // B
     big = jnp.float32(1e30)
+    now = birth_frame if now_frame is None else now_frame
     pos = arch.positions.reshape(nb, B, 3)
     val = arch.valid.reshape(nb, B).astype(jnp.float32)
     cnt = val.sum(-1)
     cent = (pos * val[..., None]).sum(1) / jnp.maximum(cnt, 1.0)[:, None]
     occupied = cnt > 0                                     # (nb,)
     bb = arch.birth.reshape(nb, B)[:, 0]                   # (nb,) i32
-    old = occupied & (
-        bb <= jnp.asarray(birth_frame, jnp.int32) - min_gap
-    )
+    old = occupied & (bb <= jnp.asarray(now, jnp.int32) - min_gap)
     iv = m.pt_valid[:B].astype(jnp.float32)
     icent = (m.points[:B] * iv[:, None]).sum(0) / jnp.maximum(
         iv.sum(), 1.0
@@ -189,9 +195,15 @@ def coverage_write_slot(
     d_in = jnp.sum((cent - icent) ** 2, -1)
     d_in = jnp.where((iv.sum() > 0) & ~old, d_in, big)
     novelty = jnp.minimum(d2.min(axis=1), d_in)
-    score = novelty - 1e-5 * bb.astype(jnp.float32)
-    score = jnp.where(occupied, score, -big)
-    return jnp.argmin(score).astype(jnp.int32)
+    # Fill empty blocks first (index order = FIFO during initial fill);
+    # otherwise exact lexicographic (min novelty, youngest among ties).
+    first_empty = jnp.argmax(~occupied)
+    m0 = jnp.min(jnp.where(occupied, novelty, big))
+    tie = occupied & (novelty <= m0 * (1.0 + 1e-6) + 1e-30)
+    youngest_tie = jnp.argmax(jnp.where(tie, bb, -(2**30)))
+    return jnp.where(
+        jnp.any(~occupied), first_empty, youngest_tie
+    ).astype(jnp.int32)
 
 
 class ArchiveLoop(NamedTuple):
@@ -563,7 +575,7 @@ def run_odometry(
     loop_min_inliers: int = 25,
     loop_weight: float = 4.0,
     loop_cooldown: int = 3,
-    max_loops: int = 8,
+    max_loops: int | None = None,
     archive_size: int | None = None,
     archive_policy: str = "fifo",
     pgo_iters: int = 15,
@@ -594,19 +606,34 @@ def run_odometry(
     :class:`LandmarkArchive` ring, every frame is PnP-matched against it
     (:func:`propose_archive_loop`), and accepted constraints feed ONE
     pose-graph optimization over the full trajectory at the end —
-    odometry-chain edges from the estimates, absolute loop edges at node
-    0 (the archived map lives in camera-0's frame). The PGO's matrix-free
-    CG solver (models/pose_graph.py) keeps this O(n) even for
-    thousand-frame sequences, preserving the O(window) memory story
-    (the archive ring is the only per-sequence state, and its capacity
-    is fixed).
+    odometry-chain edges from the estimates, loop edges anchored at
+    their inlier-birth frames. Above the dense-solver node limit the
+    DEFAULT Sim(3) corrector dispatches to the exact O(n)
+    block-tridiagonal + Woodbury chain solver
+    (models/pose_graph_sim3.solve_sim3_chain; the SE(3) path has its
+    matrix-free CG, models/pose_graph.py), so the end-of-run correction
+    stays O(n) even for thousand-frame sequences, preserving the
+    O(window) memory story (the archive ring is the only per-sequence
+    state, and its capacity is fixed).
 
     ``loop_min_gap`` defaults to ``window + 1`` (an archived landmark is
     at least ``window`` frames old by construction; +1 rejects border
     cases). ``loop_cooldown`` suppresses acceptances for that many
     frames after one, so one revisit yields one constraint, not a
-    burst. ``archive_size`` (landmark slots) defaults to 64 eviction
-    blocks. ``archive_policy`` picks the ring-overwrite rule once the
+    burst. ``max_loops`` (the device buffer's capacity) defaults to the
+    structural acceptance bound of THIS sequence — the cooldown admits
+    at most one loop per ``loop_cooldown + 1`` frames after the first
+    eviction — so default-knob runs can never saturate the buffer
+    regardless of length (round-5 fix: the fixed default 8 saturated
+    the 120-frame three-cycle and logged dropped closures; the
+    reference's analogous knob was autotuned,
+    /root/reference/GaussDePyramid-pThread.h:310-326). The buffer costs
+    ~52 bytes per slot, so sizing it for the worst case is free. Pass
+    an explicit ``max_loops`` to pin the capacity — required if a
+    checkpointed run is to be resumed and then EXTENDED past its
+    original length (the auto value depends on ``len(features)`` and
+    is part of the checkpoint fingerprint). ``archive_size`` (landmark
+    slots) defaults to 64 eviction blocks. ``archive_policy`` picks the ring-overwrite rule once the
     archive is full: "fifo" (overwrite by age — one ring period of
     memory) or "coverage" (overwrite the spatially most redundant block
     — :func:`coverage_write_slot`; place memory survives any number of
@@ -682,6 +709,13 @@ def run_odometry(
     if loop_closure:
         if loop_min_gap is None:
             loop_min_gap = W + 1
+        if max_loops is None:
+            # Structural acceptance bound: proposals start at frame
+            # W + 1 and the cooldown admits at most one acceptance per
+            # loop_cooldown + 1 frames.
+            max_loops = max(
+                8, (n - W) // (loop_cooldown + 1) + 1
+            )
         if archive_size is None:
             archive_size = 64 * pts_per_frame
         if archive_policy not in ("fifo", "coverage"):
@@ -744,17 +778,21 @@ def run_odometry(
             "pts_per_frame": pts_per_frame,
             "loop_closure": bool(loop_closure),
             "archive_size": int(archive_size or 0),
-            # The overwrite policy changes which blocks survive, hence
-            # the trajectory — resuming under a different one would
-            # silently diverge from the uninterrupted run.
-            "archive_policy": archive_policy if loop_closure else "",
-            "max_loops": max_loops,
             "desc_capacity": int(features[0].descriptors.shape[0]),
             # Anchor capacity changes the checkpoint pytree AND the BA
             # trajectory — a resume under a different marginalize
             # setting must be refused like any capacity change.
             "anchors": 0 if anc is None else int(anc.valid.shape[0]),
         }
+        if loop_closure:
+            # The overwrite policy changes which blocks survive, hence
+            # the trajectory — resuming under a different one would
+            # silently diverge from the uninterrupted run. (Loop-only
+            # keys are fingerprinted only on loop runs; a checkpoint
+            # written before archive_policy existed resumes as the
+            # "fifo" its run actually was — load_pytree meta_defaults.)
+            ckpt_meta["archive_policy"] = archive_policy
+            ckpt_meta["max_loops"] = int(max_loops)
 
         def _ckpt_like(step: int) -> dict:
             # Frozen-pose count is a function of the step, so the
@@ -783,7 +821,8 @@ def run_odometry(
         step = ckpt.latest_step(checkpoint_dir)
         if step is not None:
             state, step = ckpt.load_pytree(
-                checkpoint_dir, _ckpt_like(step), meta=ckpt_meta
+                checkpoint_dir, _ckpt_like(step), meta=ckpt_meta,
+                meta_defaults={"archive_policy": "fifo"},
             )
             m, used = state["m"], state["used"]
             F = max(0, step - W + 1)
@@ -804,7 +843,10 @@ def run_odometry(
             frozen_t.append(m.tvecs[0])
             if loop_closure:
                 wslot = (
-                    cov_fn(arch, m, jnp.asarray(i - W, jnp.int32))
+                    cov_fn(
+                        arch, m, jnp.asarray(i - W, jnp.int32),
+                        now_frame=jnp.asarray(i, jnp.int32),
+                    )
                     if archive_policy == "coverage"
                     else jnp.asarray(i - W, jnp.int32)
                 )
@@ -970,9 +1012,22 @@ def correct_trajectory(
             weight=edges.weight,
             metric=metric,
         )
+        # Off-chain edge count is host-known here, so "auto" above the
+        # dense limit takes the exact O(n) chain+Woodbury solver (the
+        # dense (7N, 7N) solve is quadratic-memory; see
+        # pose_graph_sim3.resolve_sim3_solver). Damping scales down
+        # with length so the global ramp mode is not frozen
+        # (pose_graph_sim3.chain_damping).
+        from sift_parallel_optimization_tpu.models.pose_graph_sim3 import (
+            chain_damping,
+        )
+
+        cap = max(len(loop_frames), 1)
         out = jax.jit(
             lambda p, e: optimize_sim3_graph(
-                p, e, n_iters=pgo_iters, damping=damping
+                p, e, n_iters=pgo_iters,
+                damping=chain_damping(n, damping),
+                offchain_cap=cap,
             )
         )(se3_to_sim3_poses(traj.rvecs, traj.tvecs), s_edges)
         rv, tv = sim3_to_se3_poses(out)

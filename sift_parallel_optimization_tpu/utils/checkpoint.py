@@ -63,11 +63,20 @@ def load_pytree(
     like: Any,
     step: int | None = None,
     meta: dict | None = None,
+    meta_defaults: dict | None = None,
 ):
     """Restore (tree, step); ``like`` provides structure/shape/dtype.
 
-    If ``meta`` is given it must match the fingerprint stored by
-    ``save_pytree`` (when one exists) — a mismatch raises ValueError.
+    If ``meta`` is given, every key it contains must match the
+    fingerprint stored by ``save_pytree`` (when one exists) — a mismatch
+    raises ValueError. A key MISSING from the saved fingerprint (a
+    checkpoint written before that config knob existed) is accepted only
+    when the requested value equals ``meta_defaults[key]`` — the
+    behavior checkpoints of that era actually had (e.g. pre-round-4
+    odometry checkpoints implicitly ran archive_policy="fifo"). Keys
+    present only in the saved fingerprint are ignored: the restore's
+    pytree-structure match is the shape guard, and a newer run may
+    legitimately drop a knob from its fingerprint.
     """
     import json
 
@@ -82,12 +91,23 @@ def load_pytree(
         meta_path = path / f"step_{step}.meta.json"
         if meta_path.exists():
             saved = json.loads(meta_path.read_text())
-            if saved != meta:
-                raise ValueError(
-                    f"checkpoint fingerprint mismatch under {path}: "
-                    f"saved {saved} != requested {meta}; refusing to "
-                    "resume a differently-configured run"
-                )
+            defaults = meta_defaults or {}
+            for k, want in meta.items():
+                if k not in saved and k not in defaults:
+                    # No record and no declared default: refuse — we
+                    # cannot know what the old run did.
+                    raise ValueError(
+                        f"checkpoint fingerprint under {path} lacks "
+                        f"{k!r} and no compatibility default is "
+                        "declared; refusing to resume"
+                    )
+                have = saved[k] if k in saved else defaults[k]
+                if have != want:
+                    raise ValueError(
+                        f"checkpoint fingerprint mismatch under {path}: "
+                        f"{k}={have!r} (saved) != {want!r} (requested); "
+                        "refusing to resume a differently-configured run"
+                    )
     with ocp.StandardCheckpointer() as ckptr:
         target = {
             "tree": jax.tree.map(np.asarray, like),

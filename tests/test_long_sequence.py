@@ -89,9 +89,9 @@ def test_120_frame_three_cycle_revisit():
     # An 8-block FIFO ring recalls only the last 8 evicted frames, so
     # its loops are short-range trail constraints (measured this config:
     # 5 loops, 2.14% of span — barely under windowed-only's 2.33%).
-    ates, span, m, info = _ates(
-        feats, K, gt_rvecs, gt_tvecs, window, max_loops=32,
-    )
+    # DEFAULT knobs throughout (round 5): max_loops auto-sizes from the
+    # sequence's structural acceptance bound, so nothing saturates.
+    ates, span, m, info = _ates(feats, K, gt_rvecs, gt_tvecs, window)
     # O(window) memory: capacities track window, never n.
     assert m.rvecs.shape[0] == window
     assert m.points.shape[0] == window * 128
@@ -109,9 +109,10 @@ def test_120_frame_three_cycle_revisit():
     # 0.61% of span vs the full ring's 0.54% and FIFO-8's 2.14%.
     traj_c, _m, info_c = run_odometry(
         jax.random.key(1), feats, K, window=window, loop_closure=True,
-        archive_size=8 * 128, archive_policy="coverage", max_loops=32,
+        archive_size=8 * 128, archive_policy="coverage",
         return_info=True,
     )
+    assert info_c["loops_dropped"] == 0, info_c
     from sift_parallel_optimization_tpu.utils.trajectory import (
         ate_rmse,
         camera_centers,
@@ -128,9 +129,8 @@ def test_40_frame_two_cycle_regression():
     """The configuration models/odometry.py's Sim(3) docstring cites."""
     n, period, window = 40, 20, 6
     feats, K, gt_rvecs, gt_tvecs = _render_cycles(256, n, period)
-    ates, span, m, info = _ates(
-        feats, K, gt_rvecs, gt_tvecs, window, max_loops=12,
-    )
+    ates, span, m, info = _ates(feats, K, gt_rvecs, gt_tvecs, window)
+    assert info["loops_dropped"] == 0, info
     assert len(info["loop_frames"]) >= 2, info
     assert ates[True] < 0.05 * span, (ates, span)
     assert ates[True] * 1.5 < ates[False], (ates, span)
