@@ -488,6 +488,12 @@ def solve_schur(
         m0 = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (C - 1))])
         s_dense = s_dense * m0[:, None] * m0[None, :] + jnp.diag(1.0 - m0)
         b = b.at[0].set(0.0)
+    # NOTE (round 5, measured): replacing this batch-1 LU with the
+    # recursive block inverse (geometry._block_inv) made solve_schur
+    # 0.125 -> 0.40 ms — at batch size 1 the recursion is KERNEL-COUNT
+    # bound (dozens of tiny stack/concat/matmul kernels) while one
+    # fused (36, 36) LU is cheap. The closed-form inverses only win
+    # where they are BATCHED wide (the 128-hypothesis RANSAC path).
     delta_c = jnp.linalg.solve(s_dense, b.reshape(-1)).reshape(C, 6)
 
     # Back-substitution for landmarks.
@@ -1006,6 +1012,11 @@ def bundle_adjust(
             anchors=anchors,
         )
 
+    # NOTE (round 5, measured in-session): unrolling short GN loops
+    # (Python for instead of fori_loop) measured SLOWER on chip — 1.33
+    # vs 0.95 ms for the 4-iter W=6 window BA. The rolled loop body is
+    # compiled once and scheduled tightly; the unrolled program
+    # quadruples in size with no cross-iteration fusion to show for it.
     return lax.fori_loop(0, n_iters, body, state)
 
 

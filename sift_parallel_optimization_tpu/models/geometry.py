@@ -79,8 +79,17 @@ def smallest_eigvec(ata: jax.Array, iters: int = 3) -> jax.Array:
     # never exactly orthogonal to the null vector of real inputs).
     v0 = jnp.sin(jnp.arange(1, n + 1, dtype=ata.dtype))
     v = jnp.broadcast_to(v0, ata.shape[:-2] + (n,))
+    # Invert ONCE with closed-form/recursive block algebra, iterate with
+    # matvecs: the batched LU pivot loop jnp.linalg.solve lowers to
+    # costs ~0.45 ms for (128, 12, 12) and ~0.30 ms for (256, 4, 4) on
+    # v5e, vs tens of microseconds for the block inverse (round-5
+    # measurement, tools/attrib_linalg.py). The equilibrated+shifted
+    # matrix is near-unit-diagonal, exactly the regime _block_inv is
+    # safe in; inverse iteration self-corrects any residual inverse
+    # error (it only needs the small-eigenvalue subspace amplified).
+    inv = _block_inv(shifted)
     for _ in range(iters):
-        v = jnp.linalg.solve(shifted, v[..., None])[..., 0]
+        v = jnp.einsum("...ij,...j->...i", inv, v)
         v = v / jnp.maximum(
             jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
         )
@@ -88,6 +97,18 @@ def smallest_eigvec(ata: jax.Array, iters: int = 3) -> jax.Array:
     return v / jnp.maximum(
         jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
     )
+
+
+def _inv2(m: jax.Array) -> jax.Array:
+    """Closed-form batched 2x2 inverse."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+    )
+    return adj / det[..., None, None]
 
 
 def _inv3(m: jax.Array) -> jax.Array:
@@ -115,6 +136,110 @@ def _inv3(m: jax.Array) -> jax.Array:
         -2,
     )
     return adj / det[..., None, None]
+
+
+def _inv4(m: jax.Array) -> jax.Array:
+    """Closed-form batched 4x4 inverse (2x2-minor cofactor expansion).
+
+    Round-5 measurement: one batched LU factorization of (256, 4, 4)
+    costs ~0.30 ms on v5e (sequential pivot loop), the closed-form
+    cofactor inverse 0.014 ms — the same batched-tiny-linalg pathology
+    class as the round-4 SVD findings, fixed by algebra again.
+    """
+    s0 = m[..., 0, 0] * m[..., 1, 1] - m[..., 1, 0] * m[..., 0, 1]
+    s1 = m[..., 0, 0] * m[..., 1, 2] - m[..., 1, 0] * m[..., 0, 2]
+    s2 = m[..., 0, 0] * m[..., 1, 3] - m[..., 1, 0] * m[..., 0, 3]
+    s3 = m[..., 0, 1] * m[..., 1, 2] - m[..., 1, 1] * m[..., 0, 2]
+    s4 = m[..., 0, 1] * m[..., 1, 3] - m[..., 1, 1] * m[..., 0, 3]
+    s5 = m[..., 0, 2] * m[..., 1, 3] - m[..., 1, 2] * m[..., 0, 3]
+    c5 = m[..., 2, 2] * m[..., 3, 3] - m[..., 3, 2] * m[..., 2, 3]
+    c4 = m[..., 2, 1] * m[..., 3, 3] - m[..., 3, 1] * m[..., 2, 3]
+    c3 = m[..., 2, 1] * m[..., 3, 2] - m[..., 3, 1] * m[..., 2, 2]
+    c2 = m[..., 2, 0] * m[..., 3, 3] - m[..., 3, 0] * m[..., 2, 3]
+    c1 = m[..., 2, 0] * m[..., 3, 2] - m[..., 3, 0] * m[..., 2, 2]
+    c0 = m[..., 2, 0] * m[..., 3, 1] - m[..., 3, 0] * m[..., 2, 1]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    inv = jnp.stack([
+        jnp.stack([
+            m[..., 1, 1] * c5 - m[..., 1, 2] * c4 + m[..., 1, 3] * c3,
+            -m[..., 0, 1] * c5 + m[..., 0, 2] * c4 - m[..., 0, 3] * c3,
+            m[..., 3, 1] * s5 - m[..., 3, 2] * s4 + m[..., 3, 3] * s3,
+            -m[..., 2, 1] * s5 + m[..., 2, 2] * s4 - m[..., 2, 3] * s3,
+        ], -1),
+        jnp.stack([
+            -m[..., 1, 0] * c5 + m[..., 1, 2] * c2 - m[..., 1, 3] * c1,
+            m[..., 0, 0] * c5 - m[..., 0, 2] * c2 + m[..., 0, 3] * c1,
+            -m[..., 3, 0] * s5 + m[..., 3, 2] * s2 - m[..., 3, 3] * s1,
+            m[..., 2, 0] * s5 - m[..., 2, 2] * s2 + m[..., 2, 3] * s1,
+        ], -1),
+        jnp.stack([
+            m[..., 1, 0] * c4 - m[..., 1, 1] * c2 + m[..., 1, 3] * c0,
+            -m[..., 0, 0] * c4 + m[..., 0, 1] * c2 - m[..., 0, 3] * c0,
+            m[..., 3, 0] * s4 - m[..., 3, 1] * s2 + m[..., 3, 3] * s0,
+            -m[..., 2, 0] * s4 + m[..., 2, 1] * s2 - m[..., 2, 3] * s0,
+        ], -1),
+        jnp.stack([
+            -m[..., 1, 0] * c3 + m[..., 1, 1] * c1 - m[..., 1, 2] * c0,
+            m[..., 0, 0] * c3 - m[..., 0, 1] * c1 + m[..., 0, 2] * c0,
+            -m[..., 3, 0] * s3 + m[..., 3, 1] * s1 - m[..., 3, 2] * s0,
+            m[..., 2, 0] * s3 - m[..., 2, 1] * s1 + m[..., 2, 2] * s0,
+        ], -1),
+    ], -2)
+    return inv / det[..., None, None]
+
+
+def _block_inv(m: jax.Array) -> jax.Array:
+    """Batched n x n inverse by recursive 2x2 block elimination.
+
+    Base cases are the closed-form 2/3/4 adjugate inverses; larger n
+    splits into [[A, B], [C, D]] and uses the Schur complement
+    S = D - C A^-1 B — every step is elementwise algebra or a batched
+    matmul, never a LU/pivot loop (one batched (128, 12, 12)
+    factorization costs ~0.45 ms on v5e; this whole recursion lands in
+    the tens of microseconds). Intended for the WELL-SCALED matrices of
+    this module's solvers — callers equilibrate first (e.g.
+    smallest_eigvec, _psd_solve), which keeps the leading blocks of a
+    PSD input safely invertible in f32.
+    """
+    n = m.shape[-1]
+    if n == 1:
+        return 1.0 / jnp.where(jnp.abs(m) > 1e-30, m, 1e-30)
+    if n == 2:
+        return _inv2(m)
+    if n == 3:
+        return _inv3(m)
+    if n == 4:
+        return _inv4(m)
+    h = n // 2
+    a = m[..., :h, :h]
+    b = m[..., :h, h:]
+    c = m[..., h:, :h]
+    d = m[..., h:, h:]
+    ai = _block_inv(a)
+    aib = ai @ b
+    cai = c @ ai
+    si = _block_inv(d - c @ aib)
+    sicai = si @ cai
+    top = jnp.concatenate([ai + aib @ sicai, -(aib @ si)], axis=-1)
+    bot = jnp.concatenate([-sicai, si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _psd_solve(h: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Batched solve of a PSD system via equilibrated block inversion.
+
+    h (..., n, n), rhs (..., n) -> (..., n). Diagonal equilibration
+    tames mixed-unit normal matrices (pixels^2 vs radians^2: cond ~1e8
+    raw) before the f32 closed-form inversion; inv(h) = D inv(DhD) D.
+    Replaces jnp.linalg.solve on the per-hypothesis GN path, where the
+    batched LU pivot loop dominated the whole tracking step.
+    """
+    diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    heq = h * d[..., :, None] * d[..., None, :]
+    x = jnp.einsum("...ij,...j->...i", _block_inv(heq), rhs * d)
+    return x * d
 
 
 def polar_rotation(m: jax.Array, iters: int = 6) -> jax.Array:
@@ -355,7 +480,10 @@ def pnp_dlt(
     # iteration + Newton polar use only batched solves / closed-form
     # 3x3 algebra (~same hypothesis, RANSAC scoring decides anyway).
     P = smallest_eigvec(ata).reshape(3, 4)
-    M = jnp.linalg.solve(K, P[:, :3])
+    # K is a tiny upper-triangular intrinsics matrix; its closed-form
+    # inverse replaces two batched LU solves per hypothesis.
+    k_inv = _inv3(K)
+    M = k_inv @ P[:, :3]
     # The null vector's sign is arbitrary: normalize so M = s*R with s > 0
     # (det(M) = s^3), which also settles cheirality for points in front.
     sgn = jnp.sign(jnp.linalg.det(M))
@@ -364,7 +492,7 @@ def pnp_dlt(
     M = M * sgn
     R = polar_rotation(M)
     scale = jnp.trace(R.T @ M) / 3.0
-    t = jnp.linalg.solve(K, P[:, 3]) / jnp.where(
+    t = (k_inv @ P[:, 3]) / jnp.where(
         jnp.abs(scale) > 1e-12, scale, 1e-12
     )
     cam = Camera(rvec=rotation_log(R), tvec=t)
@@ -391,7 +519,10 @@ def refine_pose(
         j = jax.jacfwd(res)(theta)               # (2N, 6)
         r = res(theta)
         h = j.T @ j + damping * jnp.eye(6)
-        return theta - jnp.linalg.solve(h, j.T @ r)
+        # Equilibrated block inverse, not LU: vmapped over RANSAC
+        # hypotheses this solve runs 128-wide, where the batched LU
+        # pivot loop costs ~0.27 ms per factorization (round 5).
+        return theta - _psd_solve(h, j.T @ r)
 
     theta = jax.lax.fori_loop(
         0, n_iters, step, jnp.concatenate([cam.rvec, cam.tvec])
