@@ -354,7 +354,6 @@ def bench_tracking(
         extract_features,
         sift_config,
     )
-    from sift_parallel_optimization_tpu.models.odometry import shift_window
     from sift_parallel_optimization_tpu.models.sfm import (
         empty_map,
         init_two_view,
@@ -388,51 +387,45 @@ def bench_tracking(
     m, used = init_two_view(key, feats[0], feats[1], K, m, B)
     m, used = register_frame(key, m, feats[2], feats[1], 2, K, used, B)
     solver = resolve_solver(W, W * B, "auto")
-    ba = functools.partial(
-        bundle_adjust, n_iters=ba_iters, damping=1e-4, huber_delta=2.0,
-        solver=solver,
-        **({"max_obs_per_point": -(-W // 8) * 8} if solver == "cg" else {}),
-    )
-    slot = min(2, W - 1)
 
     # Round 4: the default odometry path carries anchor marginalization
-    # (models/odometry.harvest_anchors -> ba anchors=...); the honest
-    # steady-state step includes the harvest and the anchor-augmented
-    # BA (both solvers support anchors).
+    # (models/odometry.harvest_anchors -> ba anchors=...). Round 5: the
+    # chain body IS the production fused steady-state step
+    # (models/odometry.make_steady_step — the exact program
+    # run_odometry scans), so this record measures the shipped code
+    # path, not a bench replica: harvest + shift + register at slot
+    # W-1 + anchored window BA per frame (loop closure off — the
+    # archive/loop stage has its own cost, benched by the odometry
+    # drivers).
     from sift_parallel_optimization_tpu.models.ba import empty_anchors
     from sift_parallel_optimization_tpu.models.odometry import (
-        harvest_anchors,
+        make_steady_step,
     )
 
     anchors0 = empty_anchors((W - 1) * B)
+    feats_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+    steady = make_steady_step(
+        feats_stacked, K, key=key, window=W, pts_per_frame=B,
+        n_frames=1 << 30, ba_every=1, ba_iters=ba_iters,
+        ba_kwargs=dict(
+            damping=1e-4, huber_delta=2.0, solver=solver,
+            **({"max_obs_per_point": -(-W // 8) * 8}
+               if solver == "cg" else {}),
+        ),
+        marginalize=True, loop_closure=False,
+    )
 
     def chain(n):
         @jax.jit
         def run(m0, used0):
-            def body(carry, _):
-                if anchors0 is not None:
-                    mm, uu, anc = carry
-                    anc = harvest_anchors(mm, anc, B, per_eviction=B)
-                else:
-                    mm, uu = carry
-                    anc = None
-                mm = shift_window(mm, B)
-                mm, uu = register_frame(
-                    key, mm, feats[2], feats[1], slot, K, uu, B
-                )
-                st = ba(mm.ba_state(), mm.obs, K, anchors=anc)
-                mm = mm._replace(
-                    rvecs=st.rvecs, tvecs=st.tvecs, points=st.points
-                )
-                if anchors0 is not None:
-                    return (mm, uu, anc), None
-                return (mm, uu), None
-
-            init = (m0, used0) if anchors0 is None else (
-                m0, used0, anchors0
+            # Constant frame index 2 (register vs feats[1], the same
+            # pair every iteration) — the carry still advances, so no
+            # work can be hoisted.
+            idx = jnp.full(n, 2, jnp.int32)
+            (mm, *_rest), _ = lax.scan(
+                steady, (m0, used0, anchors0, None, None), idx
             )
-            out, _ = lax.scan(body, init, None, length=n)
-            return out[0].tvecs.sum() + out[0].points.sum()
+            return mm.tvecs.sum() + mm.points.sum()
 
         float(run(m, used))  # compile + warm
         return run

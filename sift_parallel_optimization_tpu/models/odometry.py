@@ -559,6 +559,103 @@ def harvest_anchors(
     return jax.tree.map(lambda a: a[order], merged)
 
 
+def make_steady_step(
+    features_stacked: Features,
+    K: jax.Array,
+    *,
+    key,
+    window: int,
+    pts_per_frame: int,
+    n_frames: int,
+    ba_every: int,
+    ba_iters: int,
+    ba_kwargs: dict,
+    marginalize: bool,
+    loop_closure: bool,
+    loop_min_gap: int = 8,
+    loop_min_inliers: int = 25,
+    loop_cooldown: int = 3,
+    archive_policy: str = "fifo",
+):
+    """Build the FUSED steady-state frame step for ``lax.scan``.
+
+    Round 5: the round-4 driver issued 4-6 separately-jitted calls per
+    frame (archive/coverage, harvest, shift, register, BA, loop) — each
+    a host dispatch round through the device relay. Here the whole
+    steady-state frame (every phase is static-shape) is ONE traced
+    program, and `run_odometry` scans it over frame-index chunks, so a
+    thousand-frame steady state costs a handful of dispatches total.
+    (Analogue: the reference's one-launch worker pool that amortizes
+    thread startup over all octaves,
+    /root/reference/GaussDePyramid-pThread.h:176-188.)
+
+    carry = (m, used, anchors_or_None, archive_or_None, buf_or_None);
+    xs = the global frame index i (traced i32, i >= window). Emits the
+    evicted slot-0 pose per step — the frozen trajectory — as scan ys.
+    Identical op sequence to the round-4 per-frame path: eviction
+    (archive write under the configured policy), anchor harvest, shift,
+    register at slot W-1, window BA on ``ba_every`` frames
+    (lax.cond), loop propose+accept for i > W (lax.cond).
+    """
+    from jax import lax
+
+    W = window
+    B = pts_per_frame
+    loop_base = jax.random.fold_in(key, 11)
+
+    def step(carry, i):
+        m, used, anc, arch, buf = carry
+        frozen = (m.rvecs[0], m.tvecs[0])
+        i = jnp.asarray(i, jnp.int32)
+        if loop_closure:
+            birth = i - W
+            wslot = (
+                coverage_write_slot(
+                    arch, m, birth, loop_min_gap, B, now_frame=i
+                )
+                if archive_policy == "coverage"
+                else birth
+            )
+            arch = archive_evicted_block(arch, m, wslot, birth, B)
+        if marginalize:
+            anc = harvest_anchors(m, anc, B, per_eviction=B)
+        m = shift_window(m, B)
+        feats_i = jax.tree.map(lambda a: a[i], features_stacked)
+        feats_p = jax.tree.map(lambda a: a[i - 1], features_stacked)
+        m, used = register_frame(
+            jax.random.fold_in(key, i), m, feats_i, feats_p,
+            jnp.asarray(W - 1, jnp.int32), K, used, B,
+        )
+        if ba_every:
+            do_ba = ((i % ba_every) == 0) | (i == n_frames - 1)
+
+            def run_ba(mm):
+                st = bundle_adjust(
+                    mm.ba_state(), mm.obs, K, n_iters=ba_iters,
+                    anchors=anc, **ba_kwargs,
+                )
+                return mm._replace(
+                    rvecs=st.rvecs, tvecs=st.tvecs, points=st.points
+                )
+
+            m = lax.cond(do_ba, run_ba, lambda mm: mm, m)
+        if loop_closure:
+
+            def run_loop(b):
+                prop = propose_archive_loop(
+                    jax.random.fold_in(loop_base, i), feats_i, arch,
+                    i, K, min_gap=loop_min_gap,
+                )
+                return accept_loop_proposal(
+                    b, prop, i, loop_min_inliers, loop_cooldown
+                )
+
+            buf = lax.cond(i > W, run_loop, lambda b: b, buf)
+        return (m, used, anc, arch, buf), frozen
+
+    return step
+
+
 def run_odometry(
     key,
     features: Sequence[Features],
@@ -670,9 +767,6 @@ def run_odometry(
     reg_fn = jax.jit(
         functools.partial(register_frame, pts_per_frame=pts_per_frame)
     )
-    shift_fn = jax.jit(
-        functools.partial(shift_window, pts_per_frame=pts_per_frame)
-    )
     from sift_parallel_optimization_tpu.models.ba import resolve_solver
 
     solver = resolve_solver(W, W * pts_per_frame, solver)
@@ -688,20 +782,14 @@ def run_odometry(
     )
 
     anc = None
-    harvest_fn = None
     if marginalize:
         from sift_parallel_optimization_tpu.models.ba import empty_anchors
 
         anc = empty_anchors((W - 1) * pts_per_frame)
-        harvest_fn = jax.jit(
-            functools.partial(
-                harvest_anchors,
-                pts_per_frame=pts_per_frame,
-                per_eviction=pts_per_frame,
-            )
-        )
 
-    frozen_r: list[jax.Array] = []   # evicted poses, world frame, final
+    # Evicted (frozen) poses, kept as a list of (k, 3) CHUNK arrays —
+    # the fused steady-state scan emits whole chunks as ys.
+    frozen_r: list[jax.Array] = []
     frozen_t: list[jax.Array] = []
 
     arch = None
@@ -734,36 +822,9 @@ def run_odometry(
             )
         arch = empty_archive(archive_size)
         buf = empty_loop_buffer(max_loops)
-        arch_fn = jax.jit(
-            functools.partial(
-                archive_evicted_block, pts_per_frame=pts_per_frame
-            )
-        )
-        cov_fn = jax.jit(
-            functools.partial(
-                coverage_write_slot,
-                min_gap=loop_min_gap,
-                pts_per_frame=pts_per_frame,
-            )
-        )
-
-        def _loop_step(k, feats_i, a, fi, K_, b):
-            # Propose + accept fused: ZERO host reads per frame (the
-            # round-3 int(prop.n_inliers) gate cost one device round
-            # trip per frame — ~60 ms through the axon relay, 6x the
-            # tracking compute itself).
-            prop = propose_archive_loop(
-                k, feats_i, a, fi, K_, min_gap=loop_min_gap
-            )
-            return accept_loop_proposal(
-                b, prop, fi, loop_min_inliers, loop_cooldown
-            )
-
-        loop_fn = jax.jit(_loop_step)
-        loop_base = jax.random.fold_in(key, 11)
-        loop_keys = [
-            jax.random.fold_in(loop_base, i) for i in range(n)
-        ]
+        # Archive writes, loop proposal, and device-side acceptance all
+        # live INSIDE the fused steady-state scan body
+        # (make_steady_step): zero per-frame host work of any kind.
 
     # --- checkpoint/resume (mirrors run_sfm; utils/checkpoint.py) ----
     ckpt = None
@@ -825,81 +886,88 @@ def run_odometry(
                 meta_defaults={"archive_policy": "fifo"},
             )
             m, used = state["m"], state["used"]
-            F = max(0, step - W + 1)
-            frozen_r = [state["frozen_r"][k] for k in range(F)]
-            frozen_t = [state["frozen_t"][k] for k in range(F)]
+            if max(0, step - W + 1) > 0:
+                frozen_r = [state["frozen_r"]]
+                frozen_t = [state["frozen_t"]]
             if loop_closure:
                 arch, buf = state["arch"], state["buf"]
             if anc is not None and "anc" in state:
                 anc = state["anc"]
             start = step + 1
 
+    def _save_checkpoint(at_step: int):
+        state = {"m": m, "used": used}
+        if frozen_r:
+            state["frozen_r"] = jnp.concatenate(frozen_r)
+            state["frozen_t"] = jnp.concatenate(frozen_t)
+        if loop_closure:
+            state["arch"] = arch
+            state["buf"] = buf
+        if anc is not None:
+            state["anc"] = anc
+        ckpt.save_pytree(
+            checkpoint_dir, state, step=at_step, meta=ckpt_meta
+        )
+
     if start == 2:
         m, used = init_fn(keys[0], features[0], features[1], K, m)
-    for i in range(start, n):
-        if i >= W:
-            # Slot 0 (frame i - W) leaves the window; its pose is final.
-            frozen_r.append(m.rvecs[0])
-            frozen_t.append(m.tvecs[0])
-            if loop_closure:
-                wslot = (
-                    cov_fn(
-                        arch, m, jnp.asarray(i - W, jnp.int32),
-                        now_frame=jnp.asarray(i, jnp.int32),
-                    )
-                    if archive_policy == "coverage"
-                    else jnp.asarray(i - W, jnp.int32)
-                )
-                arch = arch_fn(
-                    arch, m, wslot, jnp.asarray(i - W, jnp.int32)
-                )
-            if harvest_fn is not None:
-                anc = harvest_fn(m, anc)
-            m = shift_fn(m)
-        slot = min(i, W - 1)
+    # ---- window-filling frames (i < W): register-only, no eviction --
+    for i in range(start, min(n, W)):
         m, used = reg_fn(
             keys[i], m, features[i], features[i - 1],
-            jnp.asarray(slot, jnp.int32), K, used,
+            jnp.asarray(i, jnp.int32), K, used,
         )
         if ba_every and (i % ba_every == 0 or i == n - 1):
             st = ba_fn(m.ba_state(), m.obs, K, anchors=anc)
             m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
-        if loop_closure and i > W:
-            # Archive non-empty (first eviction at i == W). Inlier
-            # threshold, cooldown, and capacity are all applied on
-            # device (accept_loop_proposal) — no sync.
-            buf = loop_fn(
-                loop_keys[i], features[i], arch,
-                jnp.asarray(i, jnp.int32), K, buf,
-            )
-            # NOTE — mid-run re-anchoring was built and MEASURED
-            # NEGATIVE in round 3 (see Sim3/apply_sim3_map below, kept
-            # as tested utilities): snapping the window onto the
-            # archive frame at each acceptance degraded the 18-frame
-            # revisit gate (2.4% windowed-only -> 5.7% loop-closed
-            # with the snap, vs ~1-3% with the end-of-run PGO alone)
-            # in both the transform-everything and window-only
-            # variants — the injected snap perturbs tracking more than
-            # the drift it removes at these sequence lengths.
-            # Correction therefore stays END-OF-RUN: one Sim(3) pose
-            # -graph pass over the full trajectory (correct_trajectory).
-        if (
-            ckpt is not None
-            and checkpoint_every
-            and i % checkpoint_every == 0
-        ):
-            state = {"m": m, "used": used}
-            if frozen_r:
-                state["frozen_r"] = jnp.stack(frozen_r)
-                state["frozen_t"] = jnp.stack(frozen_t)
-            if loop_closure:
-                state["arch"] = arch
-                state["buf"] = buf
-            if anc is not None:
-                state["anc"] = anc
-            ckpt.save_pytree(
-                checkpoint_dir, state, step=i, meta=ckpt_meta
-            )
+        if ckpt is not None and checkpoint_every and i % checkpoint_every == 0:
+            _save_checkpoint(i)
+
+    # ---- steady state (i >= W): ONE fused scan body, chunked only at
+    # checkpoint boundaries. Round 5: the round-4 driver paid 4-6 host
+    # dispatch rounds per frame; this path pays a handful per RUN.
+    # (The NOTE on mid-run re-anchoring still stands: snapping the
+    # window onto the archive frame at each acceptance measured
+    # NEGATIVE in round 3 — correction stays END-OF-RUN via
+    # correct_trajectory; Sim3/apply_sim3_map remain tested studies.)
+    lo = max(start, W)
+    if lo < n:
+        from jax import lax
+
+        feats_stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *features
+        )
+        steady = make_steady_step(
+            feats_stacked, K, key=key, window=W,
+            pts_per_frame=pts_per_frame, n_frames=n,
+            ba_every=ba_every, ba_iters=ba_iters, ba_kwargs=ba_kwargs,
+            marginalize=marginalize, loop_closure=loop_closure,
+            loop_min_gap=loop_min_gap or 0,
+            loop_min_inliers=loop_min_inliers,
+            loop_cooldown=loop_cooldown, archive_policy=archive_policy,
+        )
+        scan_fn = jax.jit(functools.partial(lax.scan, steady))
+        cur = lo
+        while cur < n:
+            if ckpt is not None and checkpoint_every:
+                end = min(
+                    n - 1,
+                    ((cur // checkpoint_every) + 1) * checkpoint_every,
+                )
+            else:
+                end = n - 1
+            idx = jnp.arange(cur, end + 1, dtype=jnp.int32)
+            carry, (fr, ft) = scan_fn((m, used, anc, arch, buf), idx)
+            m, used, anc, arch, buf = carry
+            frozen_r.append(fr)
+            frozen_t.append(ft)
+            cur = end + 1
+            if (
+                ckpt is not None
+                and checkpoint_every
+                and end % checkpoint_every == 0
+            ):
+                _save_checkpoint(end)
 
     # ONE host read drains the device-side loop buffer.
     loop_frames: list[int] = []
@@ -930,8 +998,8 @@ def run_odometry(
             )
 
     in_window = min(n, W)
-    rvecs = jnp.stack(frozen_r + [m.rvecs[s] for s in range(in_window)])
-    tvecs = jnp.stack(frozen_t + [m.tvecs[s] for s in range(in_window)])
+    rvecs = jnp.concatenate(frozen_r + [m.rvecs[:in_window]])
+    tvecs = jnp.concatenate(frozen_t + [m.tvecs[:in_window]])
     traj = Trajectory(rvecs=rvecs, tvecs=tvecs)
     if loop_closure and loop_frames:
         traj = correct_trajectory(
