@@ -372,78 +372,78 @@ def assemble_normal_blocks(
     """
     C = state.rvecs.shape[0]
     P = state.points.shape[0]
-    jc, jp, r = _analytic_jacobians(state, obs, K)  # (M,2,6) (M,2,3) (M,2)
+    M = obs.cam_idx.shape[0]
+    if anchors is None:
+        jc, jp, r = _analytic_jacobians(state, obs, K)
+        cam_all = obs.cam_idx
+        jc_all, r_all = jc, r
+    else:
+        # ONE linearization pass over observations + anchor factors
+        # (round 5): the separate anchor pass repeated the whole
+        # rotation-chain subexpression tree as a second kernel run
+        # every GN iteration; concatenating the pre-gathered inputs
+        # amortizes it. Anchor rows' point Jacobians are computed and
+        # sliced away (their positions are frozen constants).
+        cam_all = jnp.concatenate([obs.cam_idx, anchors.cam_idx])
+        jc_all, jp_all, r_all = _analytic_jacobians_core(
+            state.rvecs[cam_all],
+            state.tvecs[cam_all],
+            jnp.concatenate([state.points[obs.pt_idx], anchors.xyz]),
+            jnp.concatenate([obs.uv, anchors.uv]),
+            jnp.concatenate([obs.valid, anchors.valid]),
+            K,
+        )
+        jp = jp_all[:M]
     if huber_delta is not None:
-        hw = _huber_weights(r, huber_delta)[:, None, None]
-        jc = jc * jnp.sqrt(hw)
-        jp = jp * jnp.sqrt(hw)
-        r = r * jnp.sqrt(hw[:, :, 0])
+        hw_all = _huber_weights(r_all, huber_delta)[:, None, None]
+        jc_all = jc_all * jnp.sqrt(hw_all)
+        r_all = r_all * jnp.sqrt(hw_all[:, :, 0])
+        if anchors is None:
+            jp = jp * jnp.sqrt(hw_all)
+        else:
+            jp = jp * jnp.sqrt(hw_all[:M])
 
     # Gauge fixing: freeze camera 0 (zero its Jacobian) to remove the
     # 7-dof gauge freedom (6 pose + scale is handled by the prior scene).
     if fix_first_cam:
-        keep = (obs.cam_idx != 0)[:, None, None].astype(jc.dtype)
-        jc = jc * keep
+        keep = (cam_all != 0)[:, None, None].astype(jc_all.dtype)
+        jc_all = jc_all * keep
+    jc, r = jc_all[:M], r_all[:M]
 
     # One-hot matmul aggregation instead of segment_sum: TPU lowers
     # segment_sum to a sort-based scatter (0.112 ms for these four sums
     # at M=2304 on v5e) while the same reductions as (C, M) / (P, M)
     # one-hot matmuls hit the MXU (0.023 ms). The one-hot operands are
     # exact {0, 1} f32, so values match up to f32 summation order.
-    oh_c = jax.nn.one_hot(obs.cam_idx, C, dtype=jc.dtype)   # (M, C)
+    # Camera-side sums run over the CONCATENATED rows (obs + anchors).
+    oh_ca = jax.nn.one_hot(cam_all, C, dtype=jc_all.dtype)  # (M+A, C)
     oh_p = jax.nn.one_hot(obs.pt_idx, P, dtype=jp.dtype)    # (M, P)
     hcc = jnp.einsum(
-        "mc,mkl->ckl", oh_c, jnp.einsum("mik,mil->mkl", jc, jc)
+        "mc,mkl->ckl", oh_ca, jnp.einsum("mik,mil->mkl", jc_all, jc_all)
     )                                               # (C, 6, 6)
     hpp = jnp.einsum(
         "mp,mkl->pkl", oh_p, jnp.einsum("mik,mil->mkl", jp, jp)
     )                                               # (P, 3, 3)
     bc = -jnp.einsum(
-        "mc,mk->ck", oh_c, jnp.einsum("mik,mi->mk", jc, r)
+        "mc,mk->ck", oh_ca, jnp.einsum("mik,mi->mk", jc_all, r_all)
     )                                               # (C, 6)
     bp = -jnp.einsum(
         "mp,mk->pk", oh_p, jnp.einsum("mik,mi->mk", jp, r)
     )                                               # (P, 3)
 
-    # Dense camera-point cross blocks W[c, p] = sum_obs Jc^T Jp, assembled
-    # as a segment_sum over the flattened (cam, pt) index — 8x faster on
-    # TPU than the equivalent 2-D scatter-add (`.at[cam, pt].add`).
+    # Dense camera-point cross blocks W[c, p] = sum_obs Jc^T Jp. Round 5:
+    # assembled as a two-sided one-hot MXU contraction — the flat-index
+    # segment_sum this replaces (itself 8x over the 2-D scatter-add) is
+    # a sort-based scatter costing ~0.05 ms at M=2304 on v5e; the
+    # (M, C*18) x (M, P) matmul is MXU work at the same exactness
+    # ({0, 1} one-hot operands, f32 summation order).
     w_obs = jnp.einsum("mik,mil->mkl", jc, jp)      # (M, 6, 3)
-    seg = obs.cam_idx * P + obs.pt_idx
-    w = jax.ops.segment_sum(
-        w_obs.reshape(-1, 18), seg, C * P
-    ).reshape(C, P, 6, 3)
-
-    if anchors is not None:
-        # Fixed-landmark factors (Anchors): same analytic linearization
-        # with the POINT treated as a constant — the point Jacobian is
-        # computed and dropped (its columns share almost all the
-        # rotation-chain subexpressions with jc, so a dedicated
-        # cam-only path would save little). Contributions land ONLY in
-        # hcc/bc; hpp/bp/w are untouched, so the Schur elimination
-        # below is structurally identical.
-        ja, _jp_unused, ra = _analytic_jacobians_core(
-            state.rvecs[anchors.cam_idx],
-            state.tvecs[anchors.cam_idx],
-            anchors.xyz,
-            anchors.uv,
-            anchors.valid,
-            K,
-        )
-        if huber_delta is not None:
-            hwa = _huber_weights(ra, huber_delta)[:, None, None]
-            ja = ja * jnp.sqrt(hwa)
-            ra = ra * jnp.sqrt(hwa[:, :, 0])
-        if fix_first_cam:
-            keep_a = (anchors.cam_idx != 0)[:, None, None].astype(ja.dtype)
-            ja = ja * keep_a
-        oh_a = jax.nn.one_hot(anchors.cam_idx, C, dtype=ja.dtype)
-        hcc = hcc + jnp.einsum(
-            "mc,mkl->ckl", oh_a, jnp.einsum("mik,mil->mkl", ja, ja)
-        )
-        bc = bc - jnp.einsum(
-            "mc,mk->ck", oh_a, jnp.einsum("mik,mi->mk", ja, ra)
-        )
+    t = (oh_ca[:M, :, None] * w_obs.reshape(-1, 1, 18))  # (M, C, 18)
+    w = jnp.einsum("mck,mp->cpk", t, oh_p).reshape(C, P, 6, 3)
+    # Anchor (fixed-landmark) factors ride the concatenated rows above:
+    # they contribute ONLY to hcc/bc (their positions are constants),
+    # so hpp/bp/w — and hence the Schur elimination — are structurally
+    # untouched; see Anchors.
     return NormalBlocks(hcc=hcc, hpp=hpp, bc=bc, bp=bp, w=w)
 
 

@@ -234,11 +234,24 @@ def _psd_solve(h: jax.Array, rhs: jax.Array) -> jax.Array:
     raw) before the f32 closed-form inversion; inv(h) = D inv(DhD) D.
     Replaces jnp.linalg.solve on the per-hypothesis GN path, where the
     batched LU pivot loop dominated the whole tracking step.
+
+    One step of ITERATIVE REFINEMENT follows the approximate solve
+    (round 5, chip-measured): the unpivoted block-LDU inverse loses
+    ~cond * eps accuracy on genuinely ill-conditioned pose Hessians
+    (low-parallax minimal samples), and those systematically-short GN
+    steps compounded into a 13%-of-span odometry regression on the
+    18-frame chip gate (vs 1.3% with LU). The residual correction
+    x += B(rhs - h x) — two extra batched matvecs — recovers LU-grade
+    steps (gate back to ~1.2%) at ~none of the LU pivot loop's cost.
     """
     diag = jnp.diagonal(h, axis1=-2, axis2=-1)
     d = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
     heq = h * d[..., :, None] * d[..., None, :]
-    x = jnp.einsum("...ij,...j->...i", _block_inv(heq), rhs * d)
+    binv = _block_inv(heq)
+    g = rhs * d
+    x = jnp.einsum("...ij,...j->...i", binv, g)
+    resid = g - jnp.einsum("...ij,...j->...i", heq, x)
+    x = x + jnp.einsum("...ij,...j->...i", binv, resid)
     return x * d
 
 
@@ -508,21 +521,42 @@ def refine_pose(
     w: jax.Array,
     n_iters: int = 3,
     damping: float = 1e-6,
+    solver: str = "block",
 ) -> Camera:
-    """Gauss-Newton pose-only refinement (weighted reprojection)."""
+    """Gauss-Newton pose-only refinement (weighted reprojection).
 
-    def res(theta):
-        uv, _ = project(pts3d, theta[:3], theta[3:], K)
-        return ((uv - pts2d) * w[:, None]).reshape(-1)
+    Linearizes with the closed-form camera Jacobian
+    (ba._analytic_jacobian_cols — the same structure-of-arrays algebra
+    the BA hot path uses; round-2 measured the jacfwd tangent passes at
+    ~an order of magnitude more ops). ``solver`` picks the 6x6 normal
+    solve: "block" (equilibrated block inverse — the right call when
+    this function is VMAPPED over RANSAC hypotheses, where the batched
+    LU pivot loop costs ~0.27 ms per factorization) or "lu" (one fused
+    LU — measured ~25% faster for a single batch-1 refinement, where
+    the block recursion is kernel-count bound; round-5 numbers in the
+    commit log).
+    """
 
     def step(_, theta):
-        j = jax.jacfwd(res)(theta)               # (2N, 6)
-        r = res(theta)
-        h = j.T @ j + damping * jnp.eye(6)
-        # Equilibrated block inverse, not LU: vmapped over RANSAC
-        # hypotheses this solve runs 128-wide, where the batched LU
-        # pivot loop costs ~0.27 ms per factorization (round 5).
-        return theta - _psd_solve(h, j.T @ r)
+        from sift_parallel_optimization_tpu.models.ba import (
+            _analytic_jacobians_core,
+        )
+
+        n = pts3d.shape[0]
+        jc, _jp, r = _analytic_jacobians_core(
+            jnp.broadcast_to(theta[:3], (n, 3)),
+            jnp.broadcast_to(theta[3:], (n, 3)),
+            pts3d, pts2d, jnp.ones(n, bool), K,
+        )
+        # Residuals were historically weighted by w BEFORE squaring
+        # (res * w), i.e. normal equations in w^2 — keep that contract.
+        jc = jc * w[:, None, None]
+        r = r * w[:, None]
+        h = jnp.einsum("mik,mil->kl", jc, jc) + damping * jnp.eye(6)
+        g = jnp.einsum("mik,mi->k", jc, r)
+        if solver == "lu":
+            return theta - jnp.linalg.solve(h, g)
+        return theta - _psd_solve(h, g)
 
     theta = jax.lax.fori_loop(
         0, n_iters, step, jnp.concatenate([cam.rvec, cam.tvec])

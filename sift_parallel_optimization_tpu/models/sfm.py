@@ -142,15 +142,26 @@ def init_two_view(
     m: SfmMap,
     pts_per_frame: int,
     max_reproj: float = 2.0,
+    slot_a=0,
+    slot_b=1,
+    return_used_pair: bool = False,
 ) -> tuple[SfmMap, jax.Array]:
-    """Bootstrap the map from frames 0/1: F -> E -> (R, t) -> triangulate.
+    """Bootstrap the map from a frame pair: F -> E -> (R, t) -> triangulate.
 
-    Writes cameras 0 and 1, point block 0, observation blocks 0 and 1.
-    Keeps at most ``pts_per_frame`` best landmarks (static top-k).
+    Writes cameras ``slot_a``/``slot_b`` (defaults 0/1 — the sequential
+    driver), point block ``slot_a``, and two observation blocks in
+    frame ``slot_a``'s block region (3*slot_a*B + {0, B} — slots a
+    never-registered bootstrap frame leaves free). Keeps at most
+    ``pts_per_frame`` best landmarks (static top-k). Camera ``slot_a``
+    gets the identity pose; when slot_a != 0, BA's camera-0 gauge has
+    nothing to fix until frame 0 registers — Marquardt damping keeps
+    the interim iterations well-posed (covisibility-order driver,
+    round 5).
 
-    Returns (map, used1): ``used1`` marks frame-1 keypoints consumed by
-    bootstrap landmarks, so frame 2 does not re-triangulate them as
-    duplicates (the mask threads through ``register_frame``).
+    Returns (map, used_b), or (map, used_a, used_b) with
+    ``return_used_pair`` — the masks of each frame's keypoints consumed
+    by bootstrap landmarks, so a later frame triangulating against
+    either bootstrap frame does not duplicate them.
     """
     match = match_descriptors(
         f0.descriptors, f1.descriptors,
@@ -172,23 +183,35 @@ def init_two_view(
     _, keep = jax.lax.top_k(score, pts_per_frame)
     keep_ok = jnp.isfinite(jnp.take(score, keep))
 
-    pt_idx = jnp.arange(pts_per_frame)
+    B = pts_per_frame
+    slot_a = jnp.asarray(slot_a, jnp.int32)
+    slot_b = jnp.asarray(slot_b, jnp.int32)
+    pt_idx = slot_a * B + jnp.arange(pts_per_frame)
     m = m._replace(
-        rvecs=m.rvecs.at[1].set(rvec1),
-        tvecs=m.tvecs.at[1].set(t),
-        cam_valid=m.cam_valid.at[0].set(True).at[1].set(True),
+        rvecs=m.rvecs.at[slot_b].set(rvec1),
+        tvecs=m.tvecs.at[slot_b].set(t),
+        cam_valid=m.cam_valid.at[slot_a].set(True).at[slot_b].set(True),
         points=m.points.at[pt_idx].set(X[keep]),
         pt_valid=m.pt_valid.at[pt_idx].set(keep_ok),
         pt_desc=m.pt_desc.at[pt_idx].set(f0.descriptors[keep]),
     )
-    B = pts_per_frame
-    obs = _write_obs_block(m.obs, 0 * B, 0, pt_idx, p0[keep], keep_ok)
-    obs = _write_obs_block(obs, 1 * B, 1, pt_idx, p1[keep], keep_ok)
+    obs = _write_obs_block(
+        m.obs, 3 * slot_a * B, slot_a, pt_idx, p0[keep], keep_ok
+    )
+    obs = _write_obs_block(
+        obs, 3 * slot_a * B + B, slot_b, pt_idx, p1[keep], keep_ok
+    )
     k1 = f1.keypoints.valid.shape[0]
-    used1 = jnp.zeros(k1, bool).at[
+    used_b = jnp.zeros(k1, bool).at[
         jnp.where(keep_ok, match.idx2[keep], k1)
     ].set(True, mode="drop")
-    return m._replace(obs=obs), used1
+    if not return_used_pair:
+        return m._replace(obs=obs), used_b
+    k0 = f0.keypoints.valid.shape[0]
+    used_a = jnp.zeros(k0, bool).at[
+        jnp.where(keep_ok, keep, k0)
+    ].set(True, mode="drop")
+    return m._replace(obs=obs), used_a, used_b
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +257,8 @@ def ransac_pnp(
     best = jnp.argmax(counts)
     cam = Camera(rvec=thetas[best, :3], tvec=thetas[best, 3:])
     cam = refine_pose(
-        cam, pts3d, pts2d, K, inl[best].astype(jnp.float32), n_iters=5
+        cam, pts3d, pts2d, K, inl[best].astype(jnp.float32), n_iters=5,
+        solver="lu",  # batch-1: one fused LU beats the block recursion
     )
     uv, z = project(pts3d, cam.rvec, cam.tvec, K)
     err = jnp.linalg.norm(uv - pts2d, axis=-1)
@@ -258,11 +282,17 @@ def register_frame(
     pts_per_frame: int,
     max_reproj: float = 2.0,
     local_window: int | None = None,
+    partner_i=None,
 ) -> tuple[SfmMap, jax.Array]:
     """Register frame ``frame_i`` (>= 2): PnP against the map, then
-    triangulate fresh landmarks against frame ``frame_i - 1``.
+    triangulate fresh landmarks against its PARTNER frame.
 
-    ``prev_used`` marks frame ``frame_i - 1`` keypoints already associated
+    ``partner_i`` is the triangulation partner's frame slot (default
+    ``frame_i - 1`` — the sequential driver; the covisibility-order
+    driver passes each frame's most-covisible registered frame, with
+    ``prev_feats`` being THAT frame's features).
+
+    ``prev_used`` marks the partner frame's keypoints already associated
     with map landmarks (PnP inliers or new-landmark births) — those are
     excluded from fresh triangulation so an existing landmark whose match
     missed the PnP inlier set is not duplicated. Returns the map and this
@@ -280,6 +310,9 @@ def register_frame(
       * obs block 3*frame_i*B + [2B, 3B)                  — new pts, prev frame
     """
     B = pts_per_frame
+    if partner_i is None:
+        partner_i = frame_i - 1
+    partner_i = jnp.asarray(partner_i, jnp.int32)
     k_pnp, k_tri = jax.random.split(key)
 
     # --- 2D-3D: match this frame's descriptors against landmark descriptors.
@@ -335,7 +368,7 @@ def register_frame(
     used = jnp.zeros(uv.shape[0], bool).at[keep].set(keep_ok)
     fresh = pair_ok & ~used[m2.idx2] & ~prev_used
 
-    prev_cam = Camera(m.rvecs[frame_i - 1], m.tvecs[frame_i - 1])
+    prev_cam = Camera(m.rvecs[partner_i], m.tvecs[partner_i])
     P_prev = prev_cam.matrix(K)
     P_cur = cam.matrix(K)
     X = triangulate(P_prev, P_cur, p_prev, p_cur)
@@ -362,7 +395,7 @@ def register_frame(
         pt_idx, p_cur[keep2], keep2_ok,
     )
     obs = _write_obs_block(
-        obs, 3 * frame_i * B + 2 * B, frame_i - 1,
+        obs, 3 * frame_i * B + 2 * B, partner_i,
         pt_idx, p_prev[keep2], keep2_ok,
     )
     kc = uv.shape[0]
@@ -396,8 +429,23 @@ def run_sfm(
     pgo_mesh=None,
     local_window: int | None = None,
     solver: str = "auto",
+    pair_selection: str = "sequential",
+    pair_mesh=None,
 ) -> SfmMap:
     """Full incremental pipeline over a list of per-frame features.
+
+    ``pair_selection``: "sequential" (default) registers frame i against
+    frame i-1 — correct for temporally-ordered captures.
+    "covisibility" first builds the (F, F) pairwise match-count table
+    (parallel/matching.pairwise_match_counts, or the ring-sharded
+    ring_pairwise_match_counts when ``pair_mesh`` is given — the
+    distributed place-recognition sweep) and registers frames in
+    maximum-covisibility spanning-tree order, each against its most
+    covisible already-registered PARTNER
+    (parallel/matching.covisibility_order) — what makes shuffled or
+    unordered photo sets reconstructable at all (tested: the round-5
+    shuffled-sequence gate, where sequential registration fails
+    outright). Checkpointing currently requires sequential order.
 
     Python orchestration over jitted steps (each step has static shapes;
     `jit` caches one executable per frame index pattern).
@@ -502,6 +550,31 @@ def run_sfm(
     loop_frames: list[int] = []
     loop_poses: list[Camera] = []
 
+    if pair_selection == "covisibility":
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "pair_selection='covisibility' does not support "
+                "checkpointing (resume assumes sequential frame order)"
+            )
+        return _run_sfm_covisibility(
+            keys, loop_keys, features, K, m,
+            pts_per_frame=pts_per_frame, ba_every=ba_every,
+            init_fn=init_fn, reg_fn=reg_fn, ba_mid=ba_mid,
+            ba_final=ba_final, pair_mesh=pair_mesh,
+            loop_closure=loop_closure,
+            loop_fn=loop_fn if loop_closure else None,
+            loop_write_fn=loop_write_fn if loop_closure else None,
+            loop_min_gap=loop_min_gap,
+            loop_min_inliers=loop_min_inliers,
+            loop_weight=loop_weight, max_loops=max_loops,
+            pgo_mesh=pgo_mesh,
+        )
+    if pair_selection != "sequential":
+        raise ValueError(
+            f"pair_selection must be 'sequential' or 'covisibility', "
+            f"got {pair_selection!r}"
+        )
+
     # Per-frame keypoint-used mask (duplicate-landmark suppression). After
     # a checkpoint resume the previous frame's mask is unknown — start
     # conservative (all-unused; at worst one frame may birth duplicates).
@@ -536,6 +609,97 @@ def run_sfm(
             from sift_parallel_optimization_tpu.utils import checkpoint as ckpt
 
             ckpt.save_pytree(checkpoint_dir, m, step=i, meta=ckpt_meta)
+    if loop_closure and loop_frames:
+        m = close_loops(
+            m, n, loop_frames, loop_poses, pts_per_frame,
+            loop_weight=loop_weight, mesh=pgo_mesh,
+        )
+    st = ba_final(m.ba_state(), m.obs, K)
+    return m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
+
+
+def _run_sfm_covisibility(
+    keys, loop_keys, features, K, m, *,
+    pts_per_frame, ba_every, init_fn, reg_fn, ba_mid, ba_final,
+    pair_mesh, loop_closure, loop_fn, loop_write_fn, loop_min_gap,
+    loop_min_inliers, loop_weight, max_loops, pgo_mesh,
+):
+    """Covisibility-order registration (run_sfm pair_selection mode).
+
+    The ring-matching pair table becomes the production pair-selection
+    input (SURVEY section-5 promise: sharded matching FOR SfM pair
+    selection): frames register in maximum-spanning-tree order against
+    their most covisible partner, so unordered captures reconstruct
+    where strictly-sequential registration fails outright. Frame ids
+    keep their original slots (the block layout is order-independent),
+    so downstream BA / loop closure / trajectory indexing are untouched.
+    """
+    import numpy as np
+
+    from sift_parallel_optimization_tpu.models.loop_closure import (
+        close_loops,
+    )
+    from sift_parallel_optimization_tpu.parallel.matching import (
+        covisibility_order,
+        pairwise_match_counts,
+        ring_pairwise_match_counts,
+    )
+
+    n = len(features)
+    desc = jnp.stack([f.descriptors for f in features])
+    val = jnp.stack([f.keypoints.valid for f in features])
+    if pair_mesh is not None:
+        table = ring_pairwise_match_counts(pair_mesh, desc, val)
+    else:
+        table = jax.jit(pairwise_match_counts)(desc, val)
+    order, partner = covisibility_order(np.asarray(table))
+
+    a, b = order[0], order[1]
+    # return_used_pair changes the RETURN STRUCTURE — bind it statically
+    # in the partial (a traced jit kwarg cannot steer Python control
+    # flow).
+    import functools
+
+    init_pair = jax.jit(
+        functools.partial(
+            init_two_view, pts_per_frame=pts_per_frame,
+            return_used_pair=True,
+        )
+    )
+    m, used_a, used_b = init_pair(
+        keys[0], features[a], features[b], K, m,
+        slot_a=jnp.asarray(a, jnp.int32),
+        slot_b=jnp.asarray(b, jnp.int32),
+    )
+    del init_fn
+    used = {a: used_a, b: used_b}
+    loop_frames: list[int] = []
+    loop_poses: list[Camera] = []
+    for pos, f in enumerate(order[2:], start=2):
+        p = partner[f]
+        m, used_f = reg_fn(
+            keys[f], m, features[f], features[p],
+            jnp.asarray(f, jnp.int32), K, used[p],
+            partner_i=jnp.asarray(p, jnp.int32),
+        )
+        used[f] = used_f
+        if loop_closure and pos >= loop_min_gap + 2:
+            prop = loop_fn(
+                loop_keys[f], features[f], m, jnp.asarray(f, jnp.int32), K
+            )
+            if (
+                int(prop.n_inliers) >= loop_min_inliers
+                and len(loop_frames) < max_loops
+            ):
+                m = loop_write_fn(
+                    m, prop, jnp.asarray(f, jnp.int32),
+                    jnp.asarray(len(loop_frames), jnp.int32),
+                )
+                loop_frames.append(f)
+                loop_poses.append(Camera(rvec=prop.rvec, tvec=prop.tvec))
+        if ba_every and (pos % ba_every == 0 or pos == n - 1):
+            st = ba_mid(m.ba_state(), m.obs, K)
+            m = m._replace(rvecs=st.rvecs, tvecs=st.tvecs, points=st.points)
     if loop_closure and loop_frames:
         m = close_loops(
             m, n, loop_frames, loop_poses, pts_per_frame,
