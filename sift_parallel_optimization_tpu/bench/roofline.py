@@ -460,3 +460,98 @@ def projected_efficiency(
     t_comp = single_chip_ms / n
     t_ici = 1e3 * ici_bytes_per_dev / (ICI_EFFECTIVE_GBPS * 1e9)
     return round(single_chip_ms / (n * (t_comp + t_ici)), 3)
+
+
+# Per-collective launch latency charged by the overlap model (us). A
+# neighbor ppermute's software+ICI-hop latency is ~1 us on v5e; the
+# model bills it per EXCHANGE (up+down fly concurrently).
+ICI_EXCHANGE_LATENCY_US = 1.0
+
+
+def projected_efficiency_overlap(
+    single_chip_ms: float,
+    n: int,
+    ici_bytes_per_dev: float,
+    dep_fraction: float,
+    n_exchanges: int = 1,
+    peaks: Peaks = TPU_V5E,
+) -> float:
+    """Strong-scaling projection WITH communication/compute overlap.
+
+    Round 5: the sharded stencil issues its halo ppermutes FIRST and
+    runs the halo-independent bulk — a (1 - dep_fraction) share of the
+    per-device compute — while they fly
+    (parallel/scale_space.sharded_blur_bank; the structural analogue of
+    the reference's row streaming during compute,
+    /root/reference/mpitest.cpp:47-64). Only ICI time not hidden under
+    that bulk is exposed:
+
+        t_step = max(t_indep, t_ici) + t_dep,
+        t_ici  = bytes / BW + n_exchanges * latency.
+
+    ``dep_fraction`` is the halo-DEPENDENT compute share (the boundary
+    rows; ~2r/h for a radius-r band over h local rows).
+    """
+    if n <= 1:
+        return 1.0
+    t_comp = single_chip_ms / n
+    t_ici = (
+        1e3 * ici_bytes_per_dev / (ICI_EFFECTIVE_GBPS * 1e9)
+        + n_exchanges * ICI_EXCHANGE_LATENCY_US * 1e-3
+    )
+    t_dep = t_comp * dep_fraction
+    t_indep = t_comp - t_dep
+    return round(t_comp / (max(t_indep, t_ici) + t_dep), 3)
+
+
+def sharded_pyramid_overlap_model(
+    cfg: PyramidConfig, n_spatial: int
+) -> tuple[float, int]:
+    """(dep_fraction, n_exchanges) of the row-sharded SIFT pyramid.
+
+    dep_fraction is flops-weighted over the sharded octaves: each
+    blur-bank call's halo-dependent share is the boundary band matmuls
+    plus the 2r halo rows' column pass, ~2r/(h + 2r) of the call.
+    """
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        _band_radius,
+        _octave_scale_sigmas,
+    )
+
+    if n_spatial <= 1:
+        return 0.0, 0
+    rel = _octave_scale_sigmas(cfg)
+    base_sigma = math.sqrt(
+        max(cfg.sigma0**2 - cfg.assumed_blur**2, 1e-12)
+    )
+    max_r = max(_band_radius(s) for s in [base_sigma, *rel])
+    flops_dep = 0.0
+    flops_tot = 0.0
+    n_ex = 0
+    first = True
+    for size in _octave_sizes(cfg.length, cfg.n_octaves):
+        sharded = not (
+            size % (2 * n_spatial)
+            or size // n_spatial < max(2 * max_r, 8)
+        )
+        h = size // n_spatial if sharded else size
+        calls = []
+        if first:
+            calls.append(_band_radius(base_sigma))
+            first = False
+        calls.append(max_r)
+        for r in calls:
+            # col pass (h+2r rows x size) + row pass (h x (h+2r) band).
+            f = (h + 2 * r) * size + h * (2 * r + 1) * size
+            flops_tot += f
+            if sharded:
+                n_ex += 1
+                flops_dep += f * (2.0 * r) / (h + 2 * r)
+        if not sharded:
+            # Remaining tail octaves all run unsharded; their flops
+            # still count toward the total (they dilute dep_fraction).
+            continue
+    return (
+        (flops_dep / flops_tot) if flops_tot else 0.0,
+        n_ex,
+    )

@@ -113,10 +113,32 @@ def bench_scaling(
 
     # Row-sharded SIFT pyramid: analytic halo traffic per frame at each
     # mesh size (one ppermute per sharded octave; tail runs unsharded).
+    # Round 5: each row carries BOTH the pessimistic no-overlap
+    # projection and the overlap-aware one (sharded_blur_bank issues
+    # its ppermutes under the halo-independent bulk — see
+    # roofline.projected_efficiency_overlap), against the measured
+    # single-chip 512^2 pyramid time (BASELINE.md).
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        projected_efficiency,
+        projected_efficiency_overlap,
+        sharded_pyramid_overlap_model,
+    )
+
     cfg = sift_config(512)
+    single_chip_ms = 0.071  # measured 512^2 banded pyramid (BASELINE.md)
     for n in device_counts:
+        bytes_dev = sharded_pyramid_ici_bytes(cfg, n)
+        dep, n_ex = sharded_pyramid_overlap_model(cfg, n)
         writer.write(
             f"scaling_pyramid_ici_bytes_512_n{n}",
-            sharded_pyramid_ici_bytes(cfg, n), "bytes/frame/device",
+            bytes_dev, "bytes/frame/device",
             mesh_devices=n,
+            projected_eff_no_overlap=projected_efficiency(
+                single_chip_ms, n, bytes_dev
+            ),
+            projected_eff_overlap=projected_efficiency_overlap(
+                single_chip_ms, n, bytes_dev, dep, n_ex
+            ),
+            dep_fraction=round(dep, 4),
+            n_exchanges=n_ex,
         )

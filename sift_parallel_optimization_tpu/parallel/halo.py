@@ -16,15 +16,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
-    """Pad a row-sharded block (..., H_local, W) with ``halo`` rows from each
-    neighbor along mesh axis ``axis_name``.
+def neighbor_rows(
+    x: jax.Array, halo: int, axis_name: str
+) -> tuple[jax.Array, jax.Array]:
+    """The two ``halo``-row neighbor strips of a row-sharded block,
+    WITHOUT concatenating them onto the local rows.
 
-    Edge shards replicate their border rows (matching the 'edge' padding of
-    core.pyramid_ref.separable_blur on a single device, so sharded and
-    unsharded results agree bit-for-bit away from float reassociation).
+    Returns (from_up, from_down): the rows arriving from the shard above
+    (its bottom rows) and below (its top rows), with replicate-edge
+    synthesis at the global image border. Exposing the strips separately
+    is what enables communication/compute OVERLAP: a consumer can keep
+    its bulk compute dependent only on ``x`` and touch the strips late,
+    so XLA schedules the async collective-permute (ppermute lowers to
+    collective-permute-start/done on TPU) underneath the interior work —
+    the TPU-native analogue of the reference streaming finished rows
+    while computing the next (/root/reference/mpitest.cpp:47-64).
 
-    Must be called inside shard_map. Returns (..., H_local + 2*halo, W).
+    Must be called inside shard_map.
     """
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -48,4 +56,20 @@ def exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     edge_bot = jnp.repeat(x[..., -1:, :], halo, axis=-2)
     from_up = jnp.where(idx == 0, edge_top, from_up)
     from_down = jnp.where(idx == n - 1, edge_bot, from_down)
+    return from_up, from_down
+
+
+def exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Pad a row-sharded block (..., H_local, W) with ``halo`` rows from each
+    neighbor along mesh axis ``axis_name``.
+
+    Edge shards replicate their border rows (matching the 'edge' padding of
+    core.pyramid_ref.separable_blur on a single device, so sharded and
+    unsharded results agree bit-for-bit away from float reassociation).
+
+    Must be called inside shard_map. Returns (..., H_local + 2*halo, W).
+    NOTE: concatenating makes ALL downstream compute depend on the
+    ppermute — use :func:`neighbor_rows` where overlap matters.
+    """
+    from_up, from_down = neighbor_rows(x, halo, axis_name)
     return jnp.concatenate([from_up, x, from_down], axis=-2)

@@ -358,15 +358,41 @@ def sharded_blur_bank(
     prec = jax.lax.Precision.HIGHEST if precision is None else precision
 
     def local(x, bw, band):
-        x_ext = exchange_rows(x, r, axis)               # (h + 2r, W)
-        tmp = jnp.einsum(
-            "hw,swv->shv", x_ext, bw,
-            preferred_element_type=jnp.float32, precision=prec,
+        # OVERLAPPED halo exchange (round 5): issue the ppermutes
+        # first, then run the bulk column pass + interior row pass on
+        # LOCAL rows only — neither depends on the halo, so XLA
+        # schedules the async collective-permute underneath them (the
+        # reference's send-rows-while-computing pattern,
+        # /root/reference/mpitest.cpp:47-64). Only the two r-row
+        # boundary contributions (band columns [0, r) and [r+h, r+2r))
+        # consume the arrived strips. Algebraically identical to the
+        # old exchange-then-one-matmul form: the band is zero outside
+        # [a, a+2r], so interior rows receive exact 0.0 from the halo
+        # terms (sharded == unsharded equivalence tests unchanged).
+        from sift_parallel_optimization_tpu.parallel.halo import (
+            neighbor_rows,
         )
-        out = jnp.einsum(
-            "sab,sbv->sav", band, tmp,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+
+        from_up, from_down = neighbor_rows(x, r, axis)  # (r, W) each
+
+        def colpass(rows):
+            return jnp.einsum(
+                "hw,swv->shv", rows, bw,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        def rowpass(bandpart, tmp):
+            return jnp.einsum(
+                "sab,sbv->sav", bandpart, tmp,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        # Halo-independent bulk (overlaps the ppermutes in flight).
+        out = rowpass(band[:, :, r:r + h], colpass(x))
+        # Halo-dependent boundary terms (2r rows of column pass + two
+        # (h, r) x (r, W) matmuls — a 2r/h fraction of the work).
+        out = out + rowpass(band[:, :, :r], colpass(from_up))
+        out = out + rowpass(band[:, :, r + h:], colpass(from_down))
         return out.astype(x.dtype)
 
     fn = shard_map(
