@@ -141,6 +141,65 @@ def ring_pairwise_match_counts(
     return table[:F, :F]
 
 
+def pairwise_match_counts(
+    descriptors: jax.Array,  # (F, K, 128)
+    valid: jax.Array,        # (F, K)
+    ratio: float = 0.8,
+) -> jax.Array:
+    """(F, F) pairwise match-count table on ONE device.
+
+    The unsharded counterpart of :func:`ring_pairwise_match_counts`
+    (same `_pair_tile_counts` kernel with the full set as both blocks)
+    — the production pair-selection path when the keyframe set fits one
+    device; the ring variant shards the identical computation.
+    """
+    return _pair_tile_counts(
+        descriptors, valid, descriptors, valid, ratio
+    )
+
+
+def covisibility_order(table) -> tuple[list[int], dict[int, int]]:
+    """Greedy covisibility-first registration plan from a match table.
+
+    Prim-style maximum-spanning-tree over the symmetrized pair counts:
+    start at the strongest pair, then repeatedly admit the unregistered
+    frame with the highest count against ANY registered frame, recording
+    that frame as its triangulation PARTNER. Strictly-sequential
+    incremental SfM registers frame i against i-1 and fails outright
+    when temporal neighbors do not overlap (shuffled captures, unordered
+    photo sets); this plan registers every frame against its most
+    covisible predecessor instead (tested:
+    tests/test_parallel_matching.py round-5 shuffled-sequence gate).
+
+    Host-side O(F^2) numpy on the fetched table (F x F ints — the table
+    itself was computed on device, sharded or not). Returns
+    (order, partner): ``order[0]``/``order[1]`` are the bootstrap pair;
+    ``partner[f]`` is the registration partner of every later frame.
+    """
+    import numpy as np
+
+    t = np.asarray(table)
+    sym = t + t.T
+    np.fill_diagonal(sym, -1)
+    F = sym.shape[0]
+    a, b = np.unravel_index(np.argmax(sym), sym.shape)
+    order = [int(a), int(b)]
+    partner = {int(b): int(a)}
+    best = np.maximum(sym[a], sym[b])
+    best_from = np.where(sym[b] > sym[a], b, a).astype(np.int64)
+    best[[a, b]] = -1
+    for _ in range(F - 2):
+        u = int(np.argmax(best))
+        order.append(u)
+        partner[u] = int(best_from[u])
+        upd = sym[u] > best
+        best_from = np.where(upd, u, best_from)
+        best = np.maximum(best, sym[u])
+        best[u] = -1
+        best[order] = -1
+    return order, partner
+
+
 def select_covisible_pairs(
     table: jax.Array, min_count: int, min_gap: int = 1
 ) -> jax.Array:

@@ -99,3 +99,42 @@ def test_ring_ici_bytes_model():
     b = ring_matching_ici_bytes(64, 512, 8)
     # 8 frames/device * 512 kp * (512 + 1) bytes * 8 steps ~ 16.8 MB.
     assert 10e6 < b < 30e6
+
+
+def test_pairwise_match_counts_single_device(rng=None):
+    """The unsharded production table == the per-pair reference loop."""
+    rng = np.random.default_rng(5)
+    desc, valid = _fake_keyframes(rng, F=6, K=40)
+    table = jax.jit(
+        __import__(
+            "sift_parallel_optimization_tpu.parallel.matching",
+            fromlist=["pairwise_match_counts"],
+        ).pairwise_match_counts
+    )(desc, valid)
+    np.testing.assert_array_equal(
+        np.asarray(table), _reference_table(desc, valid)
+    )
+
+
+def test_covisibility_order_spanning_tree():
+    """Greedy MST plan: every frame's partner is registered before it,
+    the strongest pair bootstraps, and partners are covisible."""
+    from sift_parallel_optimization_tpu.parallel.matching import (
+        covisibility_order,
+    )
+
+    # Chain covisibility 0-1-2-3-4 shuffled into table indices: frame i
+    # overlaps only i +- 1 (counts 10), distant pairs 0.
+    F = 5
+    t = np.zeros((F, F), np.int32)
+    for i in range(F - 1):
+        t[i, i + 1] = t[i + 1, i] = 10 + i  # strongest at the 3-4 end
+    order, partner = covisibility_order(t)
+    assert sorted(order) == list(range(F))
+    assert set(order[:2]) == {3, 4}  # strongest pair bootstraps
+    seen = set(order[:2])
+    for f in order[2:]:
+        p = partner[f]
+        assert p in seen, (order, partner)
+        assert abs(p - f) == 1  # only true neighbors are covisible
+        seen.add(f)
