@@ -125,6 +125,53 @@ def test_120_frame_three_cycle_revisit():
 
 
 @pytest.mark.slow
+def test_500_frame_endurance(tmp_path):
+    """Round-5 endurance gate: 500 frames (12.5 revisit cycles), DEFAULT
+    knobs + coverage archive policy + checkpointing every 100 frames.
+
+    What it proves at length: (a) memory stays O(window) — the map's
+    capacities at the end are identical to a 20-frame run's; (b) the
+    auto-sized loop buffer never drops an accepted-quality closure;
+    (c) the Sim(3) chain-solver correction holds the GLOBAL 5%-of-span
+    gate at 500 nodes (the dense path would need a ~12 GB cross
+    tensor); (d) the chunked steady-state scan + checkpoint writer
+    compose (5 checkpoints land)."""
+    n, period, window = 500, 40, 6
+    feats, K, gt_rvecs, gt_tvecs = _render_cycles(256, n, period)
+    from sift_parallel_optimization_tpu.utils.trajectory import (
+        ate_rmse,
+        camera_centers,
+    )
+
+    traj, m, info = run_odometry(
+        jax.random.key(1), feats, K, window=window, loop_closure=True,
+        archive_policy="coverage", return_info=True,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=100,
+    )
+    # O(window) memory at 500 frames.
+    assert m.rvecs.shape[0] == window
+    assert m.points.shape[0] == window * 128
+    assert m.obs.uv.shape[0] == 3 * window * 128
+    # Defaults never drop closures; plenty are found across 12 cycles.
+    assert info["loops_dropped"] == 0, info
+    assert len(info["loop_frames"]) >= 10, info
+    # Global accuracy gate at length.
+    gt = camera_centers(jnp.asarray(gt_rvecs), jnp.asarray(gt_tvecs))
+    span = float(np.linalg.norm(np.ptp(np.asarray(gt), axis=0)))
+    ate = float(ate_rmse(camera_centers(traj.rvecs, traj.tvecs), gt))
+    assert ate < 0.05 * span, (ate, span)
+    assert traj.rvecs.shape[0] == n
+    # Checkpoints actually landed at the chunk boundaries.
+    import os
+
+    steps = sorted(
+        int(d.name[5:]) for d in (tmp_path / "ckpt").iterdir()
+        if d.name.startswith("step_") and d.name[5:].isdigit()
+    )
+    assert steps and steps[-1] >= 400, steps
+
+
+@pytest.mark.slow
 def test_40_frame_two_cycle_regression():
     """The configuration models/odometry.py's Sim(3) docstring cites."""
     n, period, window = 40, 20, 6
