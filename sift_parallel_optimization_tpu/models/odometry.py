@@ -1102,13 +1102,17 @@ def correct_trajectory(
         return Trajectory(rvecs=rv, tvecs=tv)
     from sift_parallel_optimization_tpu.models.pose_graph import (
         Poses,
+        chain_damping as se3_chain_damping,
         optimize_pose_graph,
     )
 
     poses = Poses(rvecs=traj.rvecs, tvecs=traj.tvecs)
+    cap = max(len(loop_frames), 1)
     out = jax.jit(
         lambda p, e: optimize_pose_graph(
-            p, e, n_iters=pgo_iters, damping=damping
+            p, e, n_iters=pgo_iters,
+            damping=se3_chain_damping(n, damping),
+            offchain_cap=cap,
         )
     )(poses, edges)
     return Trajectory(rvecs=out.rvecs, tvecs=out.tvecs)

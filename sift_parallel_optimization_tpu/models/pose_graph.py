@@ -291,17 +291,208 @@ def solve_pgo_cg(
     return x
 
 
-# N above which "auto" prefers the matrix-free CG solver: the dense cross
-# block is N*N*36 f32 (9.4 MB at the threshold, growing quadratically)
-# and the replicated (6N, 6N) LU solve grows cubically, while the CG
-# matvec stays O(E).
+# ---------------------------------------------------------------------------
+# Chain solver: exact O(N) block-tridiagonal + Woodbury loop correction
+# (block-size-generic — the Sim(3) module reuses these with 7-DOF blocks;
+# see pose_graph_sim3.py's comment block for the full rationale: on
+# odometry-shaped graphs CG stalls on the chain's N^2-conditioned global
+# modes, while the chain part of H is exactly solvable in O(N) by
+# block-Thomas elimination and the L loop edges are a rank-dL Woodbury
+# correction.)
+# ---------------------------------------------------------------------------
+
+
+def block_tridiag_solve(diag, off, rhs):
+    """Solve the SPD block-tridiagonal system T X = RHS.
+
+    diag (N, d, d), off (N-1, d, d) = block (i, i+1), rhs (N, d, k).
+    Two lax.scan sweeps of (d, d+k) solves — O(N) work and memory, the
+    Kalman-smoother treatment of chain sparsity.
+    """
+    d = diag.shape[-1]
+    off_prev = jnp.concatenate(
+        [jnp.zeros((1, d, d), diag.dtype), off], axis=0
+    )                                           # block (i-1, i) at row i
+    off_next = jnp.concatenate(
+        [off, jnp.zeros((1, d, d), diag.dtype)], axis=0
+    )                                           # block (i, i+1) at row i
+    k = rhs.shape[-1]
+
+    def fwd(carry, inp):
+        g_prev, y_prev = carry                  # (d, d), (d, k)
+        d_i, o_prev, o_next, b_i = inp
+        denom = d_i - o_prev.T @ g_prev
+        sol = jnp.linalg.solve(
+            denom,
+            jnp.concatenate([o_next, b_i - o_prev.T @ y_prev], axis=1),
+        )
+        g_i, y_i = sol[:, :d], sol[:, d:]
+        return (g_i, y_i), (g_i, y_i)
+
+    init = (jnp.zeros((d, d), diag.dtype), jnp.zeros((d, k), diag.dtype))
+    _, (g, y) = lax.scan(fwd, init, (diag, off_prev, off_next, rhs))
+
+    def bwd(x_next, inp):
+        g_i, y_i = inp
+        x_i = y_i - g_i @ x_next
+        return x_i, x_i
+
+    _, x_rev = lax.scan(
+        bwd, jnp.zeros((d, k), diag.dtype), (g, y), reverse=True
+    )
+    return x_rev
+
+
+def chain_woodbury_delta(diag, off, u_ji, u_jj, u_i, u_j, b):
+    """Exact (N, d) update of (T + U^T U) x = b via Woodbury.
+
+    T is the damped chain tridiagonal (diag/off); U stacks the L
+    off-chain (loop) edges' weighted Jacobian rows: row block l applies
+    u_ji[l] at node u_i[l] and u_jj[l] at node u_j[l]. One
+    factorization solves 1 + dL right-hand sides in the same two
+    block-Thomas sweeps; the (dL, dL) capacitance solve is dense but
+    tiny. Exact — same fixed point as the dense solver (tested for both
+    the 6-DOF SE(3) and 7-DOF Sim(3) instantiations).
+    """
+    N, d = b.shape
+    L = u_i.shape[0]
+    # U^T as a dense (N, d, dL) multi-RHS block: loop slot l writes
+    # u_ji[l]^T at node u_i[l]'s rows of column block l (distinct
+    # column blocks — no collisions; one-hot einsum keeps it a matmul).
+    oh_i = jax.nn.one_hot(u_i, N, dtype=b.dtype)           # (L, N)
+    oh_j = jax.nn.one_hot(u_j, N, dtype=b.dtype)
+    ut = jnp.einsum("ln,lba->nalb", oh_i, u_ji) + jnp.einsum(
+        "ln,lba->nalb", oh_j, u_jj
+    )                                                       # (N,d,L,d)
+    rhs = jnp.concatenate(
+        [b[..., None], ut.reshape(N, d, L * d)], axis=-1
+    )
+    x = block_tridiag_solve(diag, off, rhs)                 # (N,d,1+dL)
+    tb, tu = x[..., 0], x[..., 1:]                          # (N,d),(N,d,dL)
+
+    def apply_u(m):
+        # U @ m for m (N, d, k): gather rows at the loop nodes.
+        return (
+            jnp.einsum("lab,lbk->lak", u_ji, m[u_i])
+            + jnp.einsum("lab,lbk->lak", u_jj, m[u_j])
+        ).reshape(L * d, -1)
+
+    s = jnp.eye(L * d, dtype=b.dtype) + apply_u(tu)         # capacitance
+    w = jnp.linalg.solve(s, apply_u(tb[..., None]))         # (dL, 1)
+    return tb - jnp.einsum("nak,k->na", tu, w[:, 0])
+
+
+def chain_edge_split(ji, jj, r, edges, N: int, damping: float,
+                     offchain_cap: int):
+    """Shared chain/loop split + damped tridiagonal assembly.
+
+    Returns (diag, off, u_ji, u_jj, u_i, u_j, b) for
+    :func:`chain_woodbury_delta`. Chain edges are detected structurally
+    (j == i + 1, weight > 0); ALL other valid edges are compacted into
+    ``offchain_cap`` low-rank slots (the caller must guarantee the true
+    off-chain count fits — host-known in the trajectory drivers).
+    Gradient and Marquardt damping come from the FULL system so the
+    step matches the dense solver's exactly.
+    """
+    d = ji.shape[-1]
+    valid = edges.weight > 0
+    chain = valid & (edges.j == edges.i + 1)
+    cf = chain.astype(ji.dtype)[:, None, None]
+
+    diag = jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    ) + jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    off = jax.ops.segment_sum(
+        cf * jnp.einsum("eab,eac->ebc", ji, jj), edges.i, N
+    )[: N - 1]
+
+    b = -(
+        jax.ops.segment_sum(jnp.einsum("eab,ea->eb", ji, r), edges.i, N)
+        + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
+    )
+    b = b.at[0].set(0.0)
+    hdiag_full = jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
+    ) + jax.ops.segment_sum(
+        jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
+    )
+    dg = jnp.diagonal(hdiag_full, axis1=-2, axis2=-1)
+    # Off-chain edges' diagonal contributions ride the Woodbury term.
+    diag = diag + (damping * dg + 1e-6)[..., None] * jnp.eye(d)
+    diag = diag.at[0].set(jnp.eye(d))  # node-0 gauge block
+
+    loop = valid & ~chain
+    sel = jnp.argsort(~loop, stable=True)[:offchain_cap]
+    lf = loop[sel].astype(ji.dtype)[:, None, None]
+    return (
+        diag, off, ji[sel] * lf, jj[sel] * lf,
+        jnp.where(loop[sel], edges.i[sel], 0),
+        jnp.where(loop[sel], edges.j[sel], 0),
+        b,
+    )
+
+
+def chain_damping(
+    n_nodes: int, damping: float, limit: int | None = None
+) -> float:
+    """Length-aware Marquardt damping for long-chain graphs.
+
+    lambda * diag(H) suppresses update components along eigendirections
+    below lambda * diag; a chain's lowest structural mode (the global
+    ramp the loop edges exist to fix) has eigenvalue ~ diag / N^2, so a
+    fixed lambda FREEZES it once N >~ 100 (measured on the 1,000-node
+    Sim(3) scale ramp: 1e-4 crept for 20+ iterations, the scaled value
+    converged in 3). Scaling by (limit / N)^2 keeps the damped
+    spectrum's floor below the slowest physical mode at any length
+    while leaving tuned small-N behavior untouched.
+    """
+    if limit is None:
+        limit = PGO_DENSE_LIMIT
+    return damping * min(1.0, (limit / max(n_nodes, 1)) ** 2)
+
+
+@_f32_precision
+def assemble_pgo_chain(
+    poses: Poses,
+    edges: PoseGraphEdges,
+    damping: float = 1e-3,
+    offchain_cap: int = 32,
+):
+    """Linearize + split for the SE(3) chain+Woodbury solve."""
+    N = poses.rvecs.shape[0]
+    ji, jj, r = _edge_jacobians(poses, edges)
+    return chain_edge_split(ji, jj, r, edges, N, damping, offchain_cap)
+
+
+@_f32_precision
+def solve_pgo_chain(blk) -> jax.Array:
+    """Exact (N, 6) update via block-Thomas + Woodbury (see
+    :func:`chain_woodbury_delta`)."""
+    return chain_woodbury_delta(*blk)
+
+
+# N above which "auto" prefers a scalable solver: the dense cross block
+# is N*N*36 f32 (9.4 MB at the threshold, growing quadratically) and
+# the replicated (6N, 6N) LU solve grows cubically, while the chain
+# solve stays O(N) and the CG matvec O(E).
 PGO_DENSE_LIMIT = 256
 
 
-def resolve_pgo_solver(n_nodes: int, solver: str = "auto") -> str:
+def resolve_pgo_solver(
+    n_nodes: int, solver: str = "auto", offchain_cap: int | None = None
+) -> str:
+    """"auto" keeps the bit-stable dense solve at small N; above the
+    limit it takes the exact chain+Woodbury solve when the caller
+    vouches for an off-chain edge cap, else matrix-free CG
+    (structure-agnostic, but slow to diffuse loop corrections along
+    long chains — see the chain-solver comment block)."""
     if solver != "auto":
         return solver
-    return "cg" if n_nodes > PGO_DENSE_LIMIT else "dense"
+    if n_nodes <= PGO_DENSE_LIMIT:
+        return "dense"
+    return "chain" if offchain_cap is not None else "cg"
 
 
 def pgo_step(
@@ -311,10 +502,16 @@ def pgo_step(
     solver: str = "dense",
     cg_iters: int = 100,
     cg_tol: float = 1e-8,
+    offchain_cap: int = 32,
 ) -> Poses:
     if solver == "cg":
         blk = assemble_pgo_implicit(poses, edges, damping)
         delta = solve_pgo_cg(blk, cg_iters=cg_iters, cg_tol=cg_tol)
+    elif solver == "chain":
+        blk = assemble_pgo_chain(
+            poses, edges, damping, offchain_cap=offchain_cap
+        )
+        delta = solve_pgo_chain(blk)
     else:
         hdiag, cross, b = assemble_pgo_blocks(poses, edges)
         delta = solve_pgo(hdiag, cross, b, damping)
@@ -332,21 +529,27 @@ def optimize_pose_graph(
     solver: str = "auto",
     cg_iters: int = 100,
     cg_tol: float = 1e-8,
+    offchain_cap: int | None = None,
 ) -> Poses:
     """Damped Gauss-Newton PGO with a static trip count (jit this).
 
     ``solver``: "dense" materializes the (N, N, 6, 6) cross block and LU-
-    solves the (6N, 6N) system (bit-stable, best at small N); "cg" is the
-    matrix-free block-Jacobi-preconditioned CG (O(E) memory — a
-    1,000-node graph is far out of the dense solver's reach); "auto"
-    picks by node count (resolve_pgo_solver).
+    solves the (6N, 6N) system (bit-stable, best at small N); "chain" is
+    the exact O(N) block-tridiagonal + Woodbury solve for
+    odometry-shaped graphs (chain + up to ``offchain_cap`` loop edges);
+    "cg" is the matrix-free block-Jacobi-preconditioned CG (O(E)
+    memory, structure-agnostic); "auto" picks by node count and cap
+    availability (resolve_pgo_solver).
     """
-    solver = resolve_pgo_solver(poses.rvecs.shape[0], solver)
+    solver = resolve_pgo_solver(
+        poses.rvecs.shape[0], solver, offchain_cap
+    )
 
     def body(_, p):
         return pgo_step(
             p, edges, damping, solver=solver,
             cg_iters=cg_iters, cg_tol=cg_tol,
+            offchain_cap=32 if offchain_cap is None else offchain_cap,
         )
 
     return lax.fori_loop(0, n_iters, body, poses)

@@ -411,149 +411,41 @@ def solve_sim3_cg(
 # as the dense solver, tested), O(N + L^2) memory, O(N L) time.
 
 
-class ChainSim3(NamedTuple):
-    """Per-GN-step linearization for the chain+Woodbury solve."""
-
-    diag: jax.Array     # (N, 7, 7) damped tridiagonal diagonal blocks
-    off: jax.Array      # (N-1, 7, 7) block (i, i+1) of the chain part
-    u_ji: jax.Array     # (L, 7, 7) off-chain weighted d r / d pose_i
-    u_jj: jax.Array     # (L, 7, 7)
-    u_i: jax.Array      # (L,) i32 off-chain source nodes (0 if empty)
-    u_j: jax.Array      # (L,) i32
-    b: jax.Array        # (N, 7) right-hand side (node 0 zeroed)
-
-
 @_f32_precision
 def assemble_sim3_chain(
     poses: Sim3Poses,
     edges: Sim3Edges,
     damping: float = 1e-3,
     offchain_cap: int = 32,
-) -> ChainSim3:
+):
     """Split the edge list into tridiagonal chain part + low-rank rest.
 
     Chain edges are detected structurally (j == i + 1, weight > 0); ALL
     other valid edges are compacted into ``offchain_cap`` low-rank slots.
     The caller must guarantee the true off-chain edge count fits the cap
     (a traced count cannot gate inside jit) — ``correct_trajectory``
-    passes the host-known accepted-loop count.
+    passes the host-known accepted-loop count. (Shared block-size
+    -generic machinery lives in pose_graph.chain_edge_split — the SE(3)
+    solver is the 6-DOF instantiation.)
     """
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        chain_edge_split,
+    )
+
     N = poses.rvecs.shape[0]
     ji, jj, r = _edge_jacobians(poses, edges)
-    valid = edges.weight > 0
-    chain = valid & (edges.j == edges.i + 1)
-    cf = chain.astype(ji.dtype)[:, None, None]
-
-    diag = jax.ops.segment_sum(
-        cf * jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
-    ) + jax.ops.segment_sum(
-        cf * jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
-    )
-    off = jax.ops.segment_sum(
-        cf * jnp.einsum("eab,eac->ebc", ji, jj), edges.i, N
-    )[: N - 1]
-
-    # Gradient and Marquardt damping come from the FULL system (every
-    # valid edge), matching the dense solver's step exactly.
-    b = -(
-        jax.ops.segment_sum(jnp.einsum("eab,ea->eb", ji, r), edges.i, N)
-        + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", jj, r), edges.j, N)
-    )
-    b = b.at[0].set(0.0)
-    hdiag_full = jax.ops.segment_sum(
-        jnp.einsum("eab,eac->ebc", ji, ji), edges.i, N
-    ) + jax.ops.segment_sum(
-        jnp.einsum("eab,eac->ebc", jj, jj), edges.j, N
-    )
-    d = jnp.diagonal(hdiag_full, axis1=-2, axis2=-1)
-    # The off-chain edges' DIAGONAL contributions ride in the Woodbury
-    # term, so T's diagonal is chain + damping only.
-    diag = diag + (damping * d + 1e-6)[..., None] * jnp.eye(7)
-    diag = diag.at[0].set(jnp.eye(7))  # node-0 gauge block
-
-    # Compact off-chain edges into L static slots (valid-first argsort;
-    # empty slots carry zero Jacobians and node 0, contributing nothing).
-    loop = valid & ~chain
-    sel = jnp.argsort(~loop, stable=True)[:offchain_cap]
-    lf = loop[sel].astype(ji.dtype)[:, None, None]
-    return ChainSim3(
-        diag=diag, off=off,
-        u_ji=ji[sel] * lf, u_jj=jj[sel] * lf,
-        u_i=jnp.where(loop[sel], edges.i[sel], 0),
-        u_j=jnp.where(loop[sel], edges.j[sel], 0),
-        b=b,
-    )
-
-
-def _block_thomas_solve(diag, off, rhs):
-    """Solve the SPD block-tridiagonal system T X = RHS.
-
-    diag (N, 7, 7), off (N-1, 7, 7) = block (i, i+1), rhs (N, 7, k).
-    Two lax.scan sweeps of (7, 7+k) solves — O(N) work and memory, the
-    Kalman-smoother treatment of chain sparsity.
-    """
-    N, _, k = rhs.shape
-    off_prev = jnp.concatenate(
-        [jnp.zeros((1, 7, 7), diag.dtype), off], axis=0
-    )                                           # block (i-1, i) at row i
-    off_next = jnp.concatenate(
-        [off, jnp.zeros((1, 7, 7), diag.dtype)], axis=0
-    )                                           # block (i, i+1) at row i
-
-    def fwd(carry, inp):
-        g_prev, y_prev = carry                  # (7, 7), (7, k)
-        d_i, o_prev, o_next, b_i = inp
-        denom = d_i - o_prev.T @ g_prev
-        sol = jnp.linalg.solve(
-            denom,
-            jnp.concatenate([o_next, b_i - o_prev.T @ y_prev], axis=1),
-        )
-        g_i, y_i = sol[:, :7], sol[:, 7:]
-        return (g_i, y_i), (g_i, y_i)
-
-    init = (jnp.zeros((7, 7), diag.dtype), jnp.zeros((7, k), diag.dtype))
-    _, (g, y) = lax.scan(fwd, init, (diag, off_prev, off_next, rhs))
-
-    def bwd(x_next, inp):
-        g_i, y_i = inp
-        x_i = y_i - g_i @ x_next
-        return x_i, x_i
-
-    _, x_rev = lax.scan(
-        bwd, jnp.zeros((7, k), diag.dtype), (g, y), reverse=True
-    )
-    return x_rev
+    return chain_edge_split(ji, jj, r, edges, N, damping, offchain_cap)
 
 
 @_f32_precision
-def solve_sim3_chain(blk: ChainSim3) -> jax.Array:
-    """Exact (N, 7) update via block-Thomas + Woodbury loop correction."""
-    N = blk.b.shape[0]
-    L = blk.u_i.shape[0]
-    # U^T as a dense (N, 7, 7L) multi-RHS block: loop slot l writes
-    # ji_l^T at node i_l's rows of column block l (distinct column
-    # blocks — no collisions; one-hot einsum keeps it an MXU matmul).
-    oh_i = jax.nn.one_hot(blk.u_i, N, dtype=blk.b.dtype)   # (L, N)
-    oh_j = jax.nn.one_hot(blk.u_j, N, dtype=blk.b.dtype)
-    ut = jnp.einsum("ln,lba->nalb", oh_i, blk.u_ji) + jnp.einsum(
-        "ln,lba->nalb", oh_j, blk.u_jj
-    )                                                       # (N,7,L,7)
-    rhs = jnp.concatenate(
-        [blk.b[..., None], ut.reshape(N, 7, L * 7)], axis=-1
+def solve_sim3_chain(blk) -> jax.Array:
+    """Exact (N, 7) update via block-Thomas + Woodbury loop correction
+    (pose_graph.chain_woodbury_delta with 7-DOF blocks)."""
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        chain_woodbury_delta,
     )
-    x = _block_thomas_solve(blk.diag, blk.off, rhs)         # (N,7,1+7L)
-    tb, tu = x[..., 0], x[..., 1:]                          # (N,7),(N,7,7L)
 
-    def apply_u(m):
-        # U @ m for m (N, 7, k): gather rows at the loop nodes.
-        return (
-            jnp.einsum("lab,lbk->lak", blk.u_ji, m[blk.u_i])
-            + jnp.einsum("lab,lbk->lak", blk.u_jj, m[blk.u_j])
-        ).reshape(L * 7, -1)
-
-    s = jnp.eye(L * 7, dtype=blk.b.dtype) + apply_u(tu)     # capacitance
-    w = jnp.linalg.solve(s, apply_u(tb[..., None]))         # (7L, 1)
-    return tb - jnp.einsum("nak,k->na", tu, w[:, 0])
+    return chain_woodbury_delta(*blk)
 
 
 # N above which "auto" prefers a scalable solver — same rationale and
@@ -565,20 +457,15 @@ SIM3_DENSE_LIMIT = 256
 
 
 def chain_damping(n_nodes: int, damping: float) -> float:
-    """Length-aware Marquardt damping for long-chain graphs.
+    """Length-aware Marquardt damping (see pose_graph.chain_damping;
+    measured here: the 1,000-node scale-ramp problem crept at 1e-4 —
+    ls[-1] 0.28 of 0.41 after 20 EXACT GN iters — and converged in 3 at
+    the scaled value, ATE 0.274 -> 0.027)."""
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        chain_damping as _cd,
+    )
 
-    The damping term lambda * diag(H) suppresses update components along
-    eigendirections with eigenvalue below lambda * diag. A chain graph's
-    lowest structural mode (the global scale/translation ramp the loop
-    edges exist to fix) has eigenvalue ~ diag / N^2, so a fixed
-    lambda = 1e-4 FREEZES that mode once N >~ 100: measured on the
-    1,000-node scale-ramp problem, the EXACT chain solver at 1e-4 crept
-    (ls[-1] 0.28 of 0.41 after 20 GN iters) while 1e-6 converged in 3
-    (ATE 0.274 -> 0.027). Scaling lambda by (SIM3_DENSE_LIMIT / N)^2
-    keeps the damped spectrum's floor below the slowest physical mode at
-    any length while leaving the tuned small-N behavior untouched.
-    """
-    return damping * min(1.0, (SIM3_DENSE_LIMIT / max(n_nodes, 1)) ** 2)
+    return _cd(n_nodes, damping, SIM3_DENSE_LIMIT)
 
 
 def resolve_sim3_solver(

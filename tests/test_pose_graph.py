@@ -207,3 +207,65 @@ def test_distributed_pgo_matches_single(rng):
         np.asarray(dist.rvecs), np.asarray(single.rvecs), atol=1e-4
     )
     assert float(pgo_rms(dist, edges)) < 1e-3
+
+
+def test_chain_solver_matches_dense(rng):
+    """The exact chain+Woodbury path (round 5) reaches the dense fixed
+    point on a chain + loop-closure graph, loop edges included."""
+    n = 16
+    rv_gt, tv_gt = _circle_poses(n)
+    pairs = [(k, k + 1) for k in range(n - 1)] + [(n - 1, 0), (0, 8), (3, 12)]
+    edges = _edges_from_gt(rv_gt, tv_gt, pairs)
+    init = Poses(rvecs=rv_gt + 0.03, tvecs=tv_gt + 0.1)
+    dense = optimize_pose_graph(
+        init, edges, n_iters=25, damping=1e-4, solver="dense"
+    )
+    chain = jax.jit(
+        lambda p: optimize_pose_graph(
+            p, edges, n_iters=25, damping=1e-4, solver="chain",
+            offchain_cap=4,
+        )
+    )(init)
+    np.testing.assert_allclose(
+        np.asarray(chain.tvecs), np.asarray(dense.tvecs), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(chain.rvecs), np.asarray(dense.rvecs), atol=1e-3
+    )
+    assert float(pgo_rms(chain, edges)) < 1e-3
+
+
+def test_thousand_node_chain_solver(rng):
+    """1,000-node chain + loops through the exact O(N) chain solver:
+    same graph as the CG test, length-scaled damping, and 'auto' takes
+    the chain path when the caller vouches an off-chain cap."""
+    from sift_parallel_optimization_tpu.models.pose_graph import (
+        chain_damping,
+        resolve_pgo_solver,
+    )
+
+    n = 1000
+    assert resolve_pgo_solver(n, "auto", offchain_cap=8) == "chain"
+    rv_gt, tv_gt = _circle_poses(n, radius=20.0)
+    pairs = [(k, k + 1) for k in range(n - 1)] + [
+        (n - 1, 0), (0, n // 2), (n // 4, 3 * n // 4),
+        (100, 900), (250, 650),
+    ]
+    edges = _edges_from_gt(rv_gt, tv_gt, pairs)
+    r2 = np.random.default_rng(1)
+    init = Poses(
+        rvecs=rv_gt
+        + jnp.asarray(0.01 * r2.normal(size=(n, 3)).astype(np.float32)),
+        tvecs=tv_gt
+        + jnp.asarray(0.05 * r2.normal(size=(n, 3)).astype(np.float32)),
+    )
+    e0 = float(pgo_rms(init, edges))
+    out = jax.jit(
+        lambda p: optimize_pose_graph(
+            p, edges, n_iters=10, damping=chain_damping(n, 1e-4),
+            offchain_cap=8,
+        )
+    )(init)
+    e1 = float(pgo_rms(out, edges))
+    assert e0 > 0.01
+    assert e1 < 0.02 * e0, f"chain PGO did not converge: {e0} -> {e1}"
