@@ -335,6 +335,7 @@ def detect_octave_groups_batched(
     edge_ratio: float = EDGE_RATIO,
     refine_iters: int = 1,
     use_approx_topk: bool | None = None,
+    adaptive_hop: bool = False,
 ) -> Keypoints:
     """Detect over B frames' pyramids in ONE fused program -> (B, capacity)
     keypoint slots, each frame's slots shared across its octaves (global
@@ -734,6 +735,54 @@ def detect_octave_groups_batched(
             py = hop(py, oy, lim_y, conv)
             px = hop(px, ox, lim_x, conv)
             os_, oy, ox, dh, eok = fit_at(ps, py, px)
+        if adaptive_hop:
+            # Round-5 CONDITIONAL extra refit round (OPT-IN): candidates
+            # whose last fit still escapes the trust region would be
+            # DROPPED by the off_ok_f gate below; one more hop+refit
+            # recovers them, converged candidates keep their results
+            # bitwise via the where-select. MEASURED: the ROADMAP's
+            # "helps real images, not the noise bench" hypothesis was
+            # WRONG — random-noise frames trigger the cond on nearly
+            # every frame (weak candidates escape constantly), costing
+            # +0.10 ms at 512^2 on the frontend bench; default False
+            # keeps round-4 behavior and cost. Enable per call
+            # (adaptive_hop=True) for captures where dropped
+            # interpolated extrema matter more than 0.07-0.1 ms.
+
+            def _again(a):
+                ps, py, px, os_, oy, ox, dh, eok = a
+                # Zero-score slots count as converged: refitting them
+                # would perturb unmasked fields (e.g. scale) and break
+                # batched == per-frame equality when another frame's
+                # escapes trigger the shared cond.
+                conv = (
+                    (jnp.abs(os_) <= MAX_REFINE_OFFSET)
+                    & (jnp.abs(oy) <= MAX_REFINE_OFFSET)
+                    & (jnp.abs(ox) <= MAX_REFINE_OFFSET)
+                ) | (vals <= 0)
+                ps2 = hop(ps, os_, ds - 1, conv)
+                py2 = hop(py, oy, lim_y, conv)
+                px2 = hop(px, ox, lim_x, conv)
+                os2, oy2, ox2, dh2, eok2 = fit_at(ps2, py2, px2)
+
+                def sel(new, old):
+                    return jnp.where(conv, old, new)
+
+                return (
+                    sel(ps2, ps), sel(py2, py), sel(px2, px),
+                    sel(os2, os_), sel(oy2, oy), sel(ox2, ox),
+                    sel(dh2, dh), sel(eok2, eok),
+                )
+
+            esc = (
+                (jnp.abs(os_) > MAX_REFINE_OFFSET)
+                | (jnp.abs(oy) > MAX_REFINE_OFFSET)
+                | (jnp.abs(ox) > MAX_REFINE_OFFSET)
+            )
+            args = (ps, py, px, os_, oy, ox, dh, eok)
+            ps, py, px, os_, oy, ox, dh, eok = lax.cond(
+                jnp.any(esc & (vals > 0)), _again, lambda a: a, args
+            )
         fs, fy, fx = os_, oy, ox
         s_i, y_i, x_i = ps, py, px
         off_ok_f = (

@@ -405,3 +405,38 @@ def test_non_square_frontend():
     assert xs.max() < w and ys.max() < h
     norms = np.linalg.norm(np.asarray(feats.descriptors)[v], axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_adaptive_hop_knob():
+    """adaptive_hop (round-5 measured-negative study, default OFF): the
+    conditional extra refit round must never LOSE keypoints, must leave
+    all fields finite, and with the default off the output is bitwise
+    the round-4 path. Measured on chip: +0.10 ms at 512^2 on the noise
+    bench (the cond fires — the ROADMAP's 'helps real images, not the
+    noise bench' hypothesis was wrong) while recovering ~no candidates;
+    kept as an opt-in knob for escape-rich captures."""
+    from sift_parallel_optimization_tpu.core.pyramid_ref import (
+        sift_gaussian_pyramid,
+    )
+    from sift_parallel_optimization_tpu.models.detect import detect_pyramid
+    from sift_parallel_optimization_tpu.models.frontend import sift_config
+
+    cfg = sift_config(128)
+    img = jnp.asarray(
+        np.random.default_rng(2).random((128, 128), np.float32)
+    )
+    gauss = sift_gaussian_pyramid(img, cfg)
+    dogs = [g[1:] - g[:-1] for g in gauss]
+    base = detect_pyramid(dogs, cfg, max_keypoints=128,
+                          use_approx_topk=True)
+    on = detect_pyramid(dogs, cfg, max_keypoints=128,
+                        use_approx_topk=True, adaptive_hop=True)
+    assert int(on.valid.sum()) >= int(base.valid.sum())
+    for f in ("x", "y", "sigma", "score"):
+        assert bool(jnp.isfinite(getattr(on, f)).all())
+    # Valid keypoints of the base path survive unchanged positions-wise
+    # (the extra round only touches ESCAPED candidates).
+    bv = np.asarray(base.valid)
+    np.testing.assert_array_equal(
+        np.asarray(on.x)[bv], np.asarray(base.x)[bv]
+    )
