@@ -212,7 +212,8 @@ def _cmd_sfm(args) -> int:
                   f"{len(imgs)} frames, "
                   f"{int(m.pt_valid.sum())} live landmarks")
         else:
-            m = run_sfm(jax.random.key(args.seed), feats, K)
+            m = run_sfm(jax.random.key(args.seed), feats, K,
+                        pair_selection=args.pair_selection)
             est_rvecs, est_tvecs = m.rvecs, m.tvecs
             print(f"cameras: {int(m.cam_valid.sum())}/{len(imgs)}  "
                   f"landmarks: {int(m.pt_valid.sum())}  "
@@ -298,7 +299,8 @@ def _cmd_sfm(args) -> int:
               f"{args.frames} frames, "
               f"{int(m.pt_valid.sum())} live landmarks")
     else:
-        m = run_sfm(jax.random.key(args.seed), feats, K)
+        m = run_sfm(jax.random.key(args.seed), feats, K,
+                    pair_selection=args.pair_selection)
         est_rvecs, est_tvecs = m.rvecs, m.tvecs
         print(f"cameras: {int(m.cam_valid.sum())}/{args.frames}  "
               f"landmarks: {int(m.pt_valid.sum())}  "
@@ -443,6 +445,13 @@ def main(argv=None) -> int:
                         "'fifo' (by age) or 'coverage' (overwrite the "
                         "spatially most redundant block; place memory "
                         "survives long revisit periods on small rings)")
+    s.add_argument("--pair-selection", choices=("sequential", "covisibility"),
+                   default="sequential",
+                   help="full-SfM registration order: 'sequential' "
+                        "(frame i vs i-1, temporally ordered captures) "
+                        "or 'covisibility' (pairwise match-count table "
+                        "-> maximum-covisibility spanning-tree order — "
+                        "reconstructs shuffled/unordered photo sets)")
     s.add_argument("--no-marginalize", action="store_true",
                    help="with --window: disable anchor marginalization "
                         "(fixed-landmark factors for evicted blocks; on "

@@ -54,3 +54,17 @@ def test_bench_matching_writes_jsonl(tmp_path):
     assert rc == 0
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert any(r["metric"].startswith("match_ms") for r in lines)
+
+
+def test_cli_pair_selection_flag(tmp_path):
+    """--pair-selection covisibility runs the table-driven SfM driver
+    end-to-end through the CLI (rendered frames, tiny)."""
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native renderer unavailable")
+    rc = main([
+        "sfm", "--frames", "5", "--size", "128",
+        "--pair-selection", "covisibility",
+    ])
+    assert rc == 0
