@@ -463,6 +463,85 @@ def bench_tracking(
         sol_pct=cost.sol_pct(ms),
     )
 
+    # The LOOP-CLOSED steady step (round 5): the complete product path —
+    # archive write + anchor harvest + shift + register + anchored BA +
+    # archive-PnP loop propose/accept against a FULL default ring (8192
+    # archived landmarks: the matmul and RANSAC run at production size).
+    from sift_parallel_optimization_tpu.models.odometry import (
+        empty_archive,
+        empty_loop_buffer,
+    )
+
+    A = 64 * B
+    rngl = np.random.default_rng(1)
+    d = rngl.normal(size=(A, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    arch0 = empty_archive(A)._replace(
+        positions=jnp.asarray(
+            rngl.normal(size=(A, 3)).astype(np.float32) + [0, 0, 5]
+        ),
+        desc=jnp.asarray(d),
+        birth=jnp.zeros(A, jnp.int32),
+        valid=jnp.ones(A, bool),
+    )
+    buf0 = empty_loop_buffer(64)
+    steady_lc = make_steady_step(
+        feats_stacked, K, key=key, window=W, pts_per_frame=B,
+        n_frames=1 << 30, ba_every=1, ba_iters=ba_iters,
+        ba_kwargs=dict(
+            damping=1e-4, huber_delta=2.0, solver=solver,
+            **({"max_obs_per_point": -(-W // 8) * 8}
+               if solver == "cg" else {}),
+        ),
+        marginalize=True, loop_closure=True, loop_min_gap=W + 1,
+    )
+
+    def chain_lc(n):
+        @jax.jit
+        def run(m0, used0):
+            # Constant frame index W+1 (> W, so the loop stage runs
+            # every iteration — the worst case; feature gathers clamp
+            # to the last rendered frame). The final consume MUST touch
+            # the loop buffer and archive or XLA dead-code-eliminates
+            # the whole loop stage (measured: "loop overhead" -0.004 ms
+            # before this term).
+            idx = jnp.full(n, W + 1, jnp.int32)
+            (mm, _u, _a, arch_f, buf_f), _ = lax.scan(
+                steady_lc, (m0, used0, anchors0, arch0, buf0), idx
+            )
+            return (
+                mm.tvecs.sum() + mm.points.sum()
+                + buf_f.tvecs.sum() + buf_f.count
+                + arch_f.positions.sum()
+            )
+
+        float(run(m, used))
+        return run
+
+    def total_lc(fn):
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(fn(m, used))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    lo, hi = 4, 16
+    t_hi = total_lc(chain_lc(hi))
+    if t_hi < 60.0:
+        scale = int(60.0 / max(t_hi, 1e-3)) + 1
+        lo, hi = lo * scale, hi * scale
+    ms_lc = max(
+        (total_lc(chain_lc(hi)) - total_lc(chain_lc(lo))) / (hi - lo),
+        1e-6,
+    )
+    writer.write(
+        f"tracking_loop_ms_per_frame_{size}", round(ms_lc, 3), "ms",
+        window=W, pts_per_frame=B, ba_iters=ba_iters, solver=solver,
+        archive_slots=A, frames_per_s=round(1e3 / ms_lc, 1),
+        loop_overhead_ms=round(ms_lc - ms, 3),
+    )
+
 
 def bench_matrix(writer: MetricsWriter, size: int = 512, **kw) -> None:
     """The parallelism-KNOB sweep — the reference's schedule/chunk study

@@ -64,9 +64,20 @@ def match_descriptors(
         "id,jd->ij", desc1, desc2, preferred_element_type=jnp.float32
     )
     sim = jnp.where(valid2[None, :], sim, -jnp.inf)
-    top2, top2_idx = jax.lax.top_k(sim, 2)            # (K1, 2)
-    s1, s2 = top2[:, 0], top2[:, 1]
-    best = top2_idx[:, 0]
+    # Exact top-2 WITHOUT lax.top_k: with BOTH values live, top_k(k=2)
+    # takes TPU's general sort-based path — measured 1.8 ms on a
+    # (256, 8192) archive-matching sim matrix (round 5,
+    # tools/attrib_loop_scan2.py), 20x the rest of the matcher
+    # combined; max/argmax + a best-column-masked second max are plain
+    # lane reductions (~0.03 ms), and reproduce top_k's semantics
+    # exactly (first index among ties; duplicate-max values yield the
+    # same second value).
+    s1 = jnp.max(sim, axis=1)
+    best = jnp.argmax(sim, axis=1)
+    cols = jnp.arange(desc2.shape[0], dtype=jnp.int32)
+    s2 = jnp.max(
+        jnp.where(cols[None, :] == best[:, None], -jnp.inf, sim), axis=1
+    )
 
     d1_sq = 2.0 - 2.0 * s1
     d2_sq = 2.0 - 2.0 * s2
