@@ -429,6 +429,36 @@ def tracking_step_cost(
     )
 
 
+def loop_stage_cost(
+    desc_capacity: int = 256,
+    archive_slots: int = 8192,
+    n_hyp: int = 128,
+) -> CostModel:
+    """Analytic cost of the per-frame LOOP stage of loop-closed odometry
+    (models/odometry.make_steady_step: archive write + archive-PnP
+    propose + device-side accept). Add to :func:`tracking_step_cost`'s
+    model for the complete product path.
+
+    * archive write — one descriptor block (B, 128) + positions to HBM;
+    * propose — the (K, 128) x (A, 128) similarity matmul (bf16-grade
+      MXU) + its HBM stream, the top-2/mutual lane reductions (VPU, one
+      pass over the K x A matrix), n_hyp DLT hypotheses + scoring over
+      K points (same algebra as registration's PnP);
+    * accept — O(cap) elementwise, negligible.
+    """
+    K, A = desc_capacity, archive_slots
+    hbm = (K + A) * 128.0 * 4 + A * 3 * 4        # desc + positions reads
+    hbm += 128 * (128 + 3 + 4 + 1) * 4.0          # evicted block write
+    mxu_bf16 = 2.0 * K * A * 128
+    vpu = 3.0 * K * A                             # top-2 + mutual passes
+    vpu += n_hyp * 3.0e4 + n_hyp * K * 30.0       # DLT + scoring
+    return CostModel(
+        hbm_bytes=hbm, mxu_f32_flops=0.0, mxu_bf16_flops=mxu_bf16,
+        vpu_flops=vpu,
+        note="loop stage: archive write + archive-PnP propose + accept",
+    )
+
+
 def ring_matching_ici_bytes(
     n_frames: int, kp_per_frame: int, n_dev: int,
     desc_dtype_bytes: int = 4,

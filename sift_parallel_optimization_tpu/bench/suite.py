@@ -535,11 +535,19 @@ def bench_tracking(
         (total_lc(chain_lc(hi)) - total_lc(chain_lc(lo))) / (hi - lo),
         1e-6,
     )
+    from sift_parallel_optimization_tpu.bench.roofline import (
+        loop_stage_cost,
+    )
+
+    lcost = loop_stage_cost(desc_capacity=2 * B, archive_slots=A)
+    floor_lc = cost.floor_ms() + lcost.floor_ms()
     writer.write(
         f"tracking_loop_ms_per_frame_{size}", round(ms_lc, 3), "ms",
         window=W, pts_per_frame=B, ba_iters=ba_iters, solver=solver,
         archive_slots=A, frames_per_s=round(1e3 / ms_lc, 1),
         loop_overhead_ms=round(ms_lc - ms, 3),
+        floor_ms=round(floor_lc, 4),
+        sol_pct=round(100.0 * floor_lc / max(ms_lc, 1e-9), 1),
     )
 
 

@@ -560,7 +560,7 @@ def harvest_anchors(
 
 
 def make_steady_step(
-    features_stacked: Features,
+    features_stacked: Features | None,
     K: jax.Array,
     *,
     key,
@@ -590,8 +590,13 @@ def make_steady_step(
     /root/reference/GaussDePyramid-pThread.h:176-188.)
 
     carry = (m, used, anchors_or_None, archive_or_None, buf_or_None);
-    xs = the global frame index i (traced i32, i >= window). Emits the
-    evicted slot-0 pose per step — the frozen trajectory — as scan ys.
+    xs = the global frame index i (traced i32, i >= window) when
+    ``features_stacked`` is given (the batch driver gathers each
+    frame's features from the stack), or the triple
+    ``(i, feats_i, feats_prev)`` when it is None (the ONLINE serving
+    driver, :class:`OdometryStream`, feeds one frame per call — same
+    traced program either way). Emits the evicted slot-0 pose per step
+    — the frozen trajectory — as scan ys.
     Identical op sequence to the round-4 per-frame path: eviction
     (archive write under the configured policy), anchor harvest, shift,
     register at slot W-1, window BA on ``ba_every`` frames
@@ -603,9 +608,13 @@ def make_steady_step(
     B = pts_per_frame
     loop_base = jax.random.fold_in(key, 11)
 
-    def step(carry, i):
+    def step(carry, xs):
         m, used, anc, arch, buf = carry
         frozen = (m.rvecs[0], m.tvecs[0])
+        if features_stacked is None:
+            i, feats_i, feats_p = xs
+        else:
+            i = xs
         i = jnp.asarray(i, jnp.int32)
         if loop_closure:
             birth = i - W
@@ -620,8 +629,9 @@ def make_steady_step(
         if marginalize:
             anc = harvest_anchors(m, anc, B, per_eviction=B)
         m = shift_window(m, B)
-        feats_i = jax.tree.map(lambda a: a[i], features_stacked)
-        feats_p = jax.tree.map(lambda a: a[i - 1], features_stacked)
+        if features_stacked is not None:
+            feats_i = jax.tree.map(lambda a: a[i], features_stacked)
+            feats_p = jax.tree.map(lambda a: a[i - 1], features_stacked)
         m, used = register_frame(
             jax.random.fold_in(key, i), m, feats_i, feats_p,
             jnp.asarray(W - 1, jnp.int32), K, used, B,
@@ -1014,6 +1024,235 @@ def run_odometry(
         }
         return traj, m, info
     return traj, m
+
+
+class OdometryStream:
+    """ONLINE (frame-at-a-time) odometry for serving pipelines.
+
+    :func:`run_odometry` is the batch driver: it scans the fused steady
+    step over a pre-extracted feature stack. A serving pipeline receives
+    frames one at a time; this wrapper runs the SAME state machine —
+    identical jitted functions in identical order, so a streamed
+    sequence produces the same trajectory as the batch driver over the
+    same features (equivalence-tested) — behind a ``push()`` API with
+    one fused device call per frame in the steady state.
+
+    Usage::
+
+        stream = OdometryStream(key, K, window=8, loop_closure=True)
+        for feats in source:
+            pose = stream.push(feats)     # latest pose estimate (r, t)
+        traj, m, info = stream.finish()   # corrected full trajectory
+
+    ``push`` never blocks on device results (poses are returned as lazy
+    device arrays); ``finish`` performs the single end-of-run host read
+    (loop buffer) + the Sim(3)/SE(3) pose-graph correction, exactly like
+    the batch driver's tail. Since the stream length is unknown,
+    ``max_loops`` defaults to a fixed 64 (pass a larger cap for
+    multi-hour sessions — the buffer costs ~52 bytes/slot).
+    """
+
+    def __init__(
+        self,
+        key,
+        K: jax.Array,
+        window: int = 8,
+        pts_per_frame: int = 128,
+        ba_every: int = 2,
+        ba_iters: int = 8,
+        damping: float = 1e-4,
+        huber_delta: float | None = 2.0,
+        solver: str = "auto",
+        loop_closure: bool = False,
+        loop_min_gap: int | None = None,
+        loop_min_inliers: int = 25,
+        loop_weight: float = 4.0,
+        loop_cooldown: int = 3,
+        max_loops: int = 64,
+        archive_size: int | None = None,
+        archive_policy: str = "fifo",
+        pgo_iters: int = 15,
+        marginalize: bool = True,
+    ):
+        from sift_parallel_optimization_tpu.models.ba import (
+            empty_anchors,
+            resolve_solver,
+        )
+
+        if window < 3:
+            raise ValueError("window must be >= 3")
+        W = window
+        self._key = key
+        self._K = K
+        self._W = W
+        self._B = pts_per_frame
+        self._ba_every = ba_every
+        self._loop_closure = loop_closure
+        self._loop_weight = loop_weight
+        self._pgo_iters = pgo_iters
+        self._damping = damping
+        solver = resolve_solver(W, W * pts_per_frame, solver)
+        ba_kwargs: dict = dict(
+            damping=damping, huber_delta=huber_delta, solver=solver,
+        )
+        if solver == "cg":
+            ba_kwargs["max_obs_per_point"] = -(-W // 8) * 8
+        self._ba_kwargs = ba_kwargs
+        self._ba_iters = ba_iters
+
+        self._m = empty_map(W, pts_per_frame, max_loops=0)
+        self._used = None
+        self._anc = (
+            empty_anchors((W - 1) * pts_per_frame) if marginalize else None
+        )
+        self._arch = None
+        self._buf = None
+        if loop_closure:
+            if loop_min_gap is None:
+                loop_min_gap = W + 1
+            if archive_size is None:
+                archive_size = 64 * pts_per_frame
+            self._arch = empty_archive(archive_size)
+            self._buf = empty_loop_buffer(max_loops)
+        self._i = 0
+        self._pending = []          # features awaiting bootstrap
+        self._prev_feats = None
+        self._frozen_r: list[jax.Array] = []
+        self._frozen_t: list[jax.Array] = []
+        self._last_ba_i = -1
+
+        self._init_fn = jax.jit(
+            functools.partial(init_two_view, pts_per_frame=pts_per_frame)
+        )
+        self._reg_fn = jax.jit(
+            functools.partial(register_frame, pts_per_frame=pts_per_frame)
+        )
+        self._ba_fn = jax.jit(
+            functools.partial(
+                bundle_adjust, n_iters=ba_iters, **ba_kwargs
+            )
+        )
+        steady = make_steady_step(
+            None, K, key=key, window=W, pts_per_frame=pts_per_frame,
+            n_frames=1 << 30, ba_every=ba_every, ba_iters=ba_iters,
+            ba_kwargs=ba_kwargs, marginalize=marginalize,
+            loop_closure=loop_closure,
+            loop_min_gap=loop_min_gap or 0,
+            loop_min_inliers=loop_min_inliers,
+            loop_cooldown=loop_cooldown, archive_policy=archive_policy,
+        )
+
+        def one(carry, i, feats_i, feats_p):
+            return steady(carry, (i, feats_i, feats_p))
+
+        self._steady_fn = jax.jit(one)
+
+    def push(self, feats: Features):
+        """Feed one frame; returns (rvec, tvec) of its current estimate
+        (lazy device arrays — no host sync)."""
+        i = self._i
+        W = self._W
+        if i == 0:
+            self._pending.append(feats)
+            self._i = 1
+            return jnp.zeros(3), jnp.zeros(3)
+        if i == 1:
+            f0 = self._pending.pop()
+            self._m, self._used = self._init_fn(
+                jax.random.fold_in(self._key, 0), f0, feats, self._K,
+                self._m,
+            )
+            self._prev_feats = feats
+            self._i = 2
+            return self._m.rvecs[1], self._m.tvecs[1]
+        if i < W:
+            # Window-filling: register-only (same path as run_odometry).
+            self._m, self._used = self._reg_fn(
+                jax.random.fold_in(self._key, i), self._m, feats,
+                self._prev_feats, jnp.asarray(i, jnp.int32), self._K,
+                self._used,
+            )
+            if self._ba_every and i % self._ba_every == 0:
+                st = self._ba_fn(
+                    self._m.ba_state(), self._m.obs, self._K,
+                    anchors=self._anc,
+                )
+                self._m = self._m._replace(
+                    rvecs=st.rvecs, tvecs=st.tvecs, points=st.points
+                )
+                self._last_ba_i = i
+            self._prev_feats = feats
+            self._i = i + 1
+            return self._m.rvecs[i], self._m.tvecs[i]
+        carry = (self._m, self._used, self._anc, self._arch, self._buf)
+        carry, (fr, ft) = self._steady_fn(
+            carry, jnp.asarray(i, jnp.int32), feats, self._prev_feats
+        )
+        self._m, self._used, self._anc, self._arch, self._buf = carry
+        self._frozen_r.append(fr)
+        self._frozen_t.append(ft)
+        if self._ba_every and i % self._ba_every == 0:
+            self._last_ba_i = i
+        self._prev_feats = feats
+        self._i = i + 1
+        return self._m.rvecs[W - 1], self._m.tvecs[W - 1]
+
+    def finish(self):
+        """Final BA (if the last frame didn't run one), loop-buffer
+        drain, and pose-graph correction — the batch driver's tail.
+        Returns (Trajectory, final window map, info dict)."""
+        n = self._i
+        if n >= 2 and self._ba_every and self._last_ba_i != n - 1:
+            # run_odometry always BAs on the final frame (i == n - 1).
+            st = self._ba_fn(
+                self._m.ba_state(), self._m.obs, self._K,
+                anchors=self._anc,
+            )
+            self._m = self._m._replace(
+                rvecs=st.rvecs, tvecs=st.tvecs, points=st.points
+            )
+        loop_frames: list[int] = []
+        loop_poses: list[ArchiveLoop] = []
+        n_dropped = 0
+        if self._loop_closure and self._buf is not None:
+            import numpy as np
+
+            buf = self._buf
+            cnt = int(buf.count)
+            n_dropped = int(buf.n_dropped)
+            frames_np = np.asarray(buf.frames[:cnt])
+            for k in range(cnt):
+                loop_frames.append(int(frames_np[k]))
+                loop_poses.append(
+                    ArchiveLoop(
+                        rvec=buf.rvecs[k], tvec=buf.tvecs[k],
+                        n_inliers=buf.inliers[k], birth=buf.births[k],
+                    )
+                )
+        in_window = min(n, self._W)
+        if self._frozen_r:
+            # push() collects one (3,) frozen pose per steady frame.
+            rvecs = jnp.concatenate(
+                [jnp.stack(self._frozen_r), self._m.rvecs[:in_window]]
+            )
+            tvecs = jnp.concatenate(
+                [jnp.stack(self._frozen_t), self._m.tvecs[:in_window]]
+            )
+        else:
+            rvecs = self._m.rvecs[:in_window]
+            tvecs = self._m.tvecs[:in_window]
+        traj = Trajectory(rvecs=rvecs, tvecs=tvecs)
+        if self._loop_closure and loop_frames:
+            traj = correct_trajectory(
+                traj, loop_frames, loop_poses,
+                loop_weight=self._loop_weight,
+                pgo_iters=self._pgo_iters, damping=self._damping,
+            )
+        info = {
+            "loop_frames": loop_frames,
+            "loops_dropped": n_dropped,
+        }
+        return traj, self._m, info
 
 
 def correct_trajectory(

@@ -643,3 +643,61 @@ class TestWindowedLoopClosure:
                 jax.random.key(1), feats[:10], K, window=self.window + 2,
                 loop_closure=True, checkpoint_dir=d, checkpoint_every=2,
             )
+
+
+@pytest.mark.slow
+def test_odometry_stream_matches_batch():
+    """OdometryStream (the online serving API) runs the same state
+    machine as the batch run_odometry driver — same jitted functions in
+    the same order — so a streamed sequence reproduces the batch
+    trajectory on the same features. n is chosen with
+    (n-1) % ba_every == 0 so the final-frame BA aligns (the one place
+    the batch driver uses its knowledge of n)."""
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.models.odometry import (
+        OdometryStream,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native renderer unavailable")
+    size, n, W = 256, 15, 6
+    focal = float(size)
+    cfg = sift_config(size)
+    K = jnp.array(
+        [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+        jnp.float32,
+    )
+    ks = [i if i <= n // 2 else n - 1 - i for i in range(n)]
+    gt_rvecs = np.stack(
+        [[0.0, 0.025 * k, 0.002 * k] for k in ks]
+    ).astype(np.float32)
+    gt_tvecs = np.stack(
+        [[-0.25 * k, 0.012 * k, 0.035 * k] for k in ks]
+    ).astype(np.float32)
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 256, dual_orientation=True)
+    )
+    feats = [
+        fe(jnp.asarray(native.render_frame(
+            size, gt_rvecs[i], gt_tvecs[i], focal, seed=3)))
+        for i in range(n)
+    ]
+    key = jax.random.key(1)
+    traj_b, m_b = run_odometry(
+        key, feats, K, window=W, loop_closure=True, max_loops=64,
+    )
+    stream = OdometryStream(key, K, window=W, loop_closure=True)
+    for f in feats:
+        r, t = stream.push(f)
+    traj_s, m_s, info = stream.finish()
+    np.testing.assert_allclose(
+        np.asarray(traj_s.tvecs), np.asarray(traj_b.tvecs), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_s.rvecs), np.asarray(traj_b.rvecs), atol=1e-5
+    )
+    assert info["loops_dropped"] == 0
