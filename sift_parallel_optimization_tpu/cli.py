@@ -364,7 +364,31 @@ def _cmd_stream(args) -> int:
     from sift_parallel_optimization_tpu.utils import native
 
     cfg = sift_config(args.size)
-    fe = jax.jit(lambda x: extract_features(x, cfg, args.max_keypoints))
+    dual = bool(args.window)
+    fe = jax.jit(
+        lambda x: extract_features(
+            x, cfg, args.max_keypoints, dual_orientation=dual
+        )
+    )
+    stream = None
+    if args.window:
+        # ONLINE odometry on the live stream: loader -> frontend ->
+        # OdometryStream.push, one fused device call per steady frame,
+        # no per-frame host reads (poses stay lazy device arrays).
+        from sift_parallel_optimization_tpu.models.odometry import (
+            OdometryStream,
+        )
+
+        focal = float(args.size)
+        K = jnp.array(
+            [[focal, 0.0, args.size / 2],
+             [0.0, focal, args.size / 2],
+             [0.0, 0.0, 1.0]]
+        )
+        stream = OdometryStream(
+            jax.random.key(args.seed), K, window=args.window,
+            loop_closure=args.loop_closure,
+        )
     with native.FrameLoader(
         args.size, n_buffers=4, n_threads=2, seed=args.seed
     ) as ld:
@@ -382,6 +406,8 @@ def _cmd_stream(args) -> int:
             _, frame = ld.next_frame()
             feats = fe(jnp.asarray(frame))
             counts.append(feats.keypoints.count())
+            if stream is not None:
+                stream.push(feats)
         n_kp = sum(int(c) for c in counts)  # drains the pipeline
         dt = time.perf_counter() - t0
     fps = args.frames / dt
@@ -390,6 +416,18 @@ def _cmd_stream(args) -> int:
         f"({1e3 / fps:.2f} ms/frame end-to-end pipelined); "
         f"{n_kp / args.frames:.0f} keypoints/frame"
     )
+    if stream is not None:
+        import numpy as np
+
+        traj, m, info = stream.finish()
+        c = np.asarray(traj.tvecs)
+        print(
+            f"online odometry (W={args.window}"
+            f"{', loop closure' if args.loop_closure else ''}): "
+            f"{traj.rvecs.shape[0]} poses, "
+            f"{len(info['loop_frames'])} loops, "
+            f"extent {np.ptp(c, axis=0).round(3).tolist()}"
+        )
     return 0
 
 
@@ -469,6 +507,14 @@ def main(argv=None) -> int:
     st.add_argument("--size", type=int, default=512)
     st.add_argument("--max-keypoints", type=int, default=512)
     st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--window", type=int, default=0,
+                    help="> 0: run ONLINE sliding-window odometry on the "
+                         "stream (models/odometry.OdometryStream — one "
+                         "fused device call per frame) and report the "
+                         "live trajectory; 0 = frontend-only serving")
+    st.add_argument("--loop-closure", action="store_true",
+                    help="with --window: archive-ring loop closure + "
+                         "end-of-stream pose-graph correction")
     st.set_defaults(fn=_cmd_stream)
 
     args = p.parse_args(argv)

@@ -68,3 +68,15 @@ def test_cli_pair_selection_flag(tmp_path):
         "--pair-selection", "covisibility",
     ])
     assert rc == 0
+
+
+def test_cli_stream_online_odometry():
+    """stream --window runs the online OdometryStream end-to-end on the
+    native loader (tiny frames, CPU)."""
+    if not native.available():
+        pytest.skip("native renderer unavailable")
+    rc = main([
+        "stream", "--frames", "10", "--size", "128",
+        "--max-keypoints", "128", "--window", "4",
+    ])
+    assert rc == 0
