@@ -25,7 +25,13 @@ from sift_parallel_optimization_tpu.models.pose_graph import (  # noqa: F401
     Poses,
     optimize_pose_graph,
 )
+from sift_parallel_optimization_tpu.models.pose_graph_sim3 import (  # noqa: F401
+    Sim3Edges,
+    Sim3Poses,
+    optimize_sim3_graph,
+)
 from sift_parallel_optimization_tpu.models.odometry import (  # noqa: F401
+    OdometryStream,
     Trajectory,
     run_odometry,
 )

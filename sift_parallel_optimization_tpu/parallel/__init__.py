@@ -10,6 +10,11 @@ from sift_parallel_optimization_tpu.parallel.mesh import (  # noqa: F401
     initialize_distributed,
     make_mesh,
 )
+from sift_parallel_optimization_tpu.parallel.matching import (  # noqa: F401
+    covisibility_order,
+    pairwise_match_counts,
+    ring_pairwise_match_counts,
+)
 from sift_parallel_optimization_tpu.parallel.pose_graph import (  # noqa: F401
     distributed_pgo,
 )
