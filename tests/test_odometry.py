@@ -701,3 +701,45 @@ def test_odometry_stream_matches_batch():
         np.asarray(traj_s.rvecs), np.asarray(traj_b.rvecs), atol=1e-5
     )
     assert info["loops_dropped"] == 0
+
+
+def test_odometry_stream_short_sequences():
+    """OdometryStream degrades gracefully below the window size: 1 frame
+    (identity pose), 2 frames (bootstrap pair), W-1 frames (fill only)."""
+    from sift_parallel_optimization_tpu.models.frontend import (
+        extract_features,
+        sift_config,
+    )
+    from sift_parallel_optimization_tpu.models.odometry import (
+        OdometryStream,
+    )
+    from sift_parallel_optimization_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native renderer unavailable")
+    size = 128
+    focal = float(size)
+    cfg = sift_config(size)
+    K = jnp.array(
+        [[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1.0]],
+        jnp.float32,
+    )
+    fe = jax.jit(
+        lambda x: extract_features(x, cfg, 128, dual_orientation=True)
+    )
+    feats = [
+        fe(jnp.asarray(native.render_frame(
+            size,
+            np.asarray([0.0, 0.02 * i, 0.0], np.float32),
+            np.asarray([-0.2 * i, 0.0, 0.02 * i], np.float32),
+            focal, seed=3)))
+        for i in range(4)
+    ]
+    for n in (1, 2, 3, 4):
+        stream = OdometryStream(jax.random.key(0), K, window=5)
+        for f in feats[:n]:
+            stream.push(f)
+        traj, m, info = stream.finish()
+        assert traj.rvecs.shape[0] == min(n, 5)
+        assert bool(jnp.isfinite(traj.tvecs).all())
+        assert info["loops_dropped"] == 0
